@@ -1,0 +1,66 @@
+"""Grid-metric correctness: exact spherical invariants."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from xcontour_tpu import grid as G
+from xcontour_tpu.utils.constants import Rearth
+
+
+def test_global_area_sums_to_sphere(vorticity):
+    lat, lon, _ = vorticity
+    g = G.from_latlon(lat, lon, dtype=jnp.float64)
+    total = float(np.sum(np.asarray(g.dA)))
+    sphere = 4.0 * np.pi * Rearth ** 2
+    # edge cells extrapolate past the gaussian-grid poles, then clamp: the
+    # remaining mismatch is < 0.1% of the sphere
+    assert abs(total - sphere) / sphere < 1e-3
+    assert g.periodic_x
+    assert g.latlon
+
+
+def test_band_area_exact():
+    lat = np.linspace(-80, 80, 9)
+    lon = np.linspace(0, 350, 36)
+    g = G.from_latlon(lat, lon, dtype=jnp.float64)
+    # row areas must equal the analytic band area R^2 (sin top - sin bot) dlam
+    dA = np.asarray(g.dA)
+    latE = np.zeros(10)
+    latE[1:-1] = 0.5 * (lat[:-1] + lat[1:])
+    latE[0] = lat[0] - 10
+    latE[-1] = lat[-1] + 10
+    d2r = np.pi / 180
+    for j in [2, 4, 6]:
+        want = Rearth**2 * (np.sin(latE[j+1]*d2r) - np.sin(latE[j]*d2r)) * 10 * d2r
+        np.testing.assert_allclose(dA[j, 5], want, rtol=1e-12)
+
+
+def test_latitude_lengths_and_equivalent_latitudes():
+    lats = jnp.asarray([0.0, 30.0, 60.0], jnp.float64)
+    L = np.asarray(G.latitude_lengths_at(lats))
+    np.testing.assert_allclose(L[0], 2 * np.pi * Rearth, rtol=1e-12)
+    np.testing.assert_allclose(L[2], 2 * np.pi * Rearth * 0.5, rtol=1e-9)
+
+    # half the sphere's area -> equator; full area -> north pole
+    areas = jnp.asarray([2 * np.pi * Rearth**2, 4 * np.pi * Rearth**2], jnp.float64)
+    eq = np.asarray(G.equivalent_latitudes(areas))
+    np.testing.assert_allclose(eq, [0.0, 90.0], atol=1e-6)
+
+
+def test_cartesian_grid():
+    y = np.linspace(0, 100, 11)
+    x = np.linspace(0, 200, 21)
+    g = G.from_cartesian(y, x, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(g.dA), 100.0)
+    np.testing.assert_allclose(float(g.total_area()), 110 * 210, rtol=1e-12)
+
+
+def test_xz_grid_partial_cells():
+    z = np.array([-5.0, -15.0, -25.0])
+    x = np.linspace(1.0, 9.0, 5)
+    hf = np.ones((3, 5))
+    hf[-1, :] = 0.5  # partial bottom cells
+    g = G.from_xz(z, x, hFacC=hf, dtype=jnp.float64)
+    dA = np.asarray(g.dA)
+    np.testing.assert_allclose(dA[0, 0], 10.0 * 2.0, rtol=1e-12)
+    np.testing.assert_allclose(dA[-1, 0], 10.0 * 0.5 * 2.0, rtol=1e-12)

@@ -1,0 +1,208 @@
+"""Contour geometry: perimeter lengths and box-counting crossing lengths.
+
+Perimeter: the reference runs scikit-image's serial marching-squares traversal
+per (batch, contour) and sums numba-jit haversine polyline lengths
+(/root/reference/xcontour/core.py:1437-1487, utils.py:565-609).  Total
+perimeter is traversal-invariant, so here marching squares is *traversal-free*:
+every grid cell independently classifies its 4-corner case, generates its
+segment endpoints by the same linear interpolation skimage uses, measures them
+geodesically, and a masked sum reduces per contour.  That turns the whole
+computation into one data-parallel XLA kernel batched over
+(batch, contour, cell) — no serial chasing, no host loops.
+
+Saddle (ambiguous) cells follow skimage's default ``fully_connected='low'``
+rule: corners above the level are cut off individually.  NaN corners generate
+no segments, exactly like skimage.
+
+Box counting: the reference numba kernel (core.py:1490-1566) loops every box
+and corner serially.  Here each stride level is two ``reduce_window`` min/max
+passes (NaN-aware) over the padded field, after which *every* contour level is
+a pair of comparisons per box: crossing = (win_min <= c) & (win_max > c).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.constants import Rearth as _REARTH
+
+
+def _haversine(lon1, lon2, lat1, lat2):
+    """Great-circle distance, unit sphere, radians (reference utils.py:734-761)."""
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    a = jnp.sin(dlat * 0.5) ** 2 + jnp.cos(lat1) * jnp.cos(lat2) * jnp.sin(dlon * 0.5) ** 2
+    return 2.0 * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
+
+
+def _level_total_length(level, v00, v01, v10, v11, y0, y1, x0, x1,
+                        nan_cell, latlon: bool):
+    """Sum of in-cell segment lengths for one contour level."""
+    a00 = v00 > level
+    a01 = v01 > level
+    a10 = v10 > level
+    a11 = v11 > level
+
+    def frac(va, vb):
+        d = vb - va
+        return jnp.where(d == 0, 0.0, (level - va) / jnp.where(d == 0, 1.0, d))
+
+    ft = frac(v00, v01)
+    fb = frac(v10, v11)
+    fl = frac(v00, v10)
+    fr = frac(v01, v11)
+    top = (y0, x0 + ft * (x1 - x0))
+    bot = (y1, x0 + fb * (x1 - x0))
+    lef = (y0 + fl * (y1 - y0), x0)
+    rig = (y0 + fr * (y1 - y0), x1)
+
+    if latlon:
+        def seglen(p, q):
+            return _haversine(p[1], q[1], p[0], q[0])
+    else:
+        def seglen(p, q):
+            return jnp.hypot(p[0] - q[0], p[1] - q[1])
+
+    zero = jnp.zeros_like(v00)
+    L = zero
+    iso00 = (a00 != a01) & (a00 != a10) & (a01 == a11)
+    iso01 = (a01 != a00) & (a01 != a11) & (a00 == a10)
+    iso10 = (a10 != a00) & (a10 != a11) & (a00 == a01)
+    iso11 = (a11 != a01) & (a11 != a10) & (a01 == a00)
+    L = jnp.where(iso00, seglen(top, lef), L)
+    L = jnp.where(iso01, seglen(top, rig), L)
+    L = jnp.where(iso10, seglen(bot, lef), L)
+    L = jnp.where(iso11, seglen(bot, rig), L)
+    horiz = (a00 == a01) & (a10 == a11) & (a00 != a10)
+    verti = (a00 == a10) & (a01 == a11) & (a00 != a01)
+    L = jnp.where(horiz, seglen(lef, rig), L)
+    L = jnp.where(verti, seglen(top, bot), L)
+    sad_main = a00 & a11 & ~a01 & ~a10     # high corners on the main diagonal
+    sad_anti = a01 & a10 & ~a00 & ~a11
+    L = jnp.where(sad_main, seglen(top, lef) + seglen(bot, rig), L)
+    L = jnp.where(sad_anti, seglen(top, rig) + seglen(bot, lef), L)
+
+    L = jnp.where(nan_cell, 0.0, L)
+    return jnp.sum(L, axis=(-2, -1))
+
+
+@partial(jax.jit, static_argnames=("latlon", "chunk"))
+def contour_lengths(data, contours, ydef, xdef, *, latlon: bool = False,
+                    Rearth: float = _REARTH, chunk: int = 8):
+    """Perimeter of each contour level.
+
+    data : (..., Ny, Nx); contours : (..., N) or (N,);
+    ydef/xdef : coordinate vectors (degrees if latlon, meters otherwise).
+    Returns (..., N); contours with zero total length give NaN
+    (reference utils.py:603-604).
+    """
+    yc = jnp.deg2rad(ydef) if latlon else ydef
+    xc = jnp.deg2rad(xdef) if latlon else xdef
+    yc = yc.astype(data.dtype)
+    xc = xc.astype(data.dtype)
+
+    v00 = data[..., :-1, :-1]
+    v01 = data[..., :-1, 1:]
+    v10 = data[..., 1:, :-1]
+    v11 = data[..., 1:, 1:]
+    nan_cell = jnp.isnan(v00) | jnp.isnan(v01) | jnp.isnan(v10) | jnp.isnan(v11)
+    shape = v00.shape[-2:]
+    y0 = jnp.broadcast_to(yc[:-1, None], shape)
+    y1 = jnp.broadcast_to(yc[1:, None], shape)
+    x0 = jnp.broadcast_to(xc[None, :-1], shape)
+    x1 = jnp.broadcast_to(xc[None, 1:], shape)
+
+    batch_shape = data.shape[:-2]
+    ctr = jnp.broadcast_to(contours, batch_shape + contours.shape[-1:])
+    N = ctr.shape[-1]
+
+    def one_level(k):
+        c = ctr[..., k]  # (...,) per-batch level
+        cb = c[..., None, None] if batch_shape else c
+        return _level_total_length(cb, v00, v01, v10, v11, y0, y1, x0, x1,
+                                   nan_cell, latlon)
+
+    chunk = max(1, min(chunk, N))
+    npad = (-N) % chunk
+    idx = jnp.arange(N + npad).reshape(-1, chunk)
+    totals = jax.lax.map(jax.vmap(one_level), idx)
+    totals = totals.reshape((-1,) + totals.shape[2:])[:N]      # (N, ...)
+    totals = jnp.moveaxis(totals, 0, -1)                       # (..., N)
+
+    totals = jnp.where(totals == 0.0, jnp.nan, totals)
+    return totals * Rearth if latlon else totals
+
+
+def _window_minmax(data, stride: int):
+    """NaN-aware (min, max) over (stride+1)x(stride+1) windows advancing by
+    stride; all-NaN windows give (+inf, -inf)."""
+    nan = jnp.isnan(data)
+    lo = jnp.where(nan, jnp.inf, data)
+    hi = jnp.where(nan, -jnp.inf, data)
+    win = (1,) * (data.ndim - 2) + (stride + 1, stride + 1)
+    strd = (1,) * (data.ndim - 2) + (stride, stride)
+    wmin = jax.lax.reduce_window(lo, jnp.inf, jax.lax.min, win, strd, "VALID")
+    wmax = jax.lax.reduce_window(hi, -jnp.inf, jax.lax.max, win, strd, "VALID")
+    return wmin, wmax
+
+
+@partial(jax.jit, static_argnames=("stride", "pad_x", "mode", "quirks"))
+def _crossing_one_stride(data, contours, area, stride: int, pad_x: int,
+                         mode: str, quirks: bool):
+    batch = data.shape[:-2]
+    pad = [(0, 0)] * (data.ndim - 2) + [(0, 0), (0, pad_x)]
+    d = jnp.pad(data, pad, mode=mode)
+    a = jnp.pad(area, [(0, 0), (0, pad_x)], mode=mode)
+
+    jj, nn = d.shape[-2:]
+    Jn = int(np.round(jj / stride))
+    In = int(np.round(nn / stride))
+    i_bound = (Jn - 1) if quirks else (In - 1)
+
+    wmin, wmax = _window_minmax(d, stride)
+    wmin = wmin[..., : Jn - 1, :i_bound]
+    wmax = wmax[..., : Jn - 1, :i_bound]
+
+    if quirks:
+        # reference bug: area indexed by box index (core.py:1562)
+        a_box = a[: Jn - 1, :i_bound]
+    else:
+        a_box = a[::stride, ::stride][: Jn - 1, :i_bound]
+    contrib = jnp.sqrt(a_box) * stride
+    contrib = jnp.where(jnp.isnan(contrib), 0.0, contrib)
+
+    ctr = jnp.broadcast_to(contours, batch + contours.shape[-1:])
+
+    def one_level(k):
+        c = ctr[..., k]
+        cb = c[..., None, None] if batch else c
+        crossing = (wmin <= cb) & (wmax > cb)
+        return jnp.sum(jnp.where(crossing, contrib, 0.0), axis=(-2, -1))
+
+    N = ctr.shape[-1]
+    out = jax.vmap(one_level)(jnp.arange(N))
+    return jnp.moveaxis(out, 0, -1)
+
+
+def contour_crossing(data, contours, area, stride=1, *, mode: str = "edge",
+                     quirks: bool = False):
+    """Box-counting crossing length(s) (reference core.py:640-693, 1490-1566).
+
+    ``stride`` may be an int or a sequence of ints (returns a list, like the
+    reference).  X is padded once by the max stride with ``mode``
+    (core.py:673-675) so every stride sees the same padded field.
+    ``quirks=True`` reproduces the reference's latent indexing bugs for
+    bit-parity (SURVEY.md §0.2); the default computes the corrected full-width
+    version.
+    """
+    if isinstance(stride, Sequence):
+        pad_x = int(max(stride))
+        return [_crossing_one_stride(data, contours, area, int(s), pad_x,
+                                     mode, quirks) for s in stride]
+    return _crossing_one_stride(data, contours, area, int(stride), int(stride),
+                                mode, quirks)

@@ -1,0 +1,83 @@
+"""Weighted-histogram CDF engine — the rearrangement primitive.
+
+This is the TPU-native replacement for the reference's xhistogram path
+(/root/reference/xcontour/core.py:1202-1325 ``_histogram``): a digitize
+(searchsorted) + segment-sum + prefix-scan pipeline instead of dask-chunked
+numpy bincounts.  Exact reference edge semantics are preserved:
+
+* one bin of width ``step`` is prepended so output length == number of
+  contours (core.py:1277-1305);
+* decreasing bin arrays are handled by ascending-order histogramming with the
+  output mapped back so ``out[k]`` pairs with ``bins[k]``;
+* values outside [b_min - step, b_max] are excluded; the top edge is
+  right-inclusive (np.histogram semantics);
+* ``lt=False`` flips the CDF via total - CDF (core.py:1322-1324);
+* NaN weights count as zero (core.py:449); NaN values fall in no bin.
+
+Unlike xhistogram, bins may vary per batch element (the reference cannot do
+per-level bins and has to fall back to the memory-hungry broadcast path for 3-D
+data — see SURVEY.md §0.2); here batched bins are simply vmapped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _cdf_single(values: jax.Array, bins: jax.Array, weights: jax.Array,
+                lt: bool) -> jax.Array:
+    """CDF for one flattened sample set.  values/weights: (G,), bins: (N,)."""
+    N = bins.shape[0]
+    bincrease = bins[0] < bins[-1]
+    asc = jnp.where(bincrease, bins, bins[::-1])
+    step = (asc[-1] - asc[0]) / (N - 1)
+    edges = jnp.concatenate([(asc[0] - step)[None], asc])
+
+    # np.digitize(right=False): bin j covers [edges[j], edges[j+1]);
+    # the final bin is right-inclusive like np.histogram.
+    idx = jnp.searchsorted(edges, values, side="right") - 1
+    idx = jnp.where(values == edges[-1], N - 1, idx)
+    valid = (idx >= 0) & (idx <= N - 1) & ~jnp.isnan(values)
+
+    w = jnp.where(jnp.isnan(weights), 0.0, weights)
+    w = jnp.where(valid, w, 0.0)
+    hist = jax.ops.segment_sum(w, jnp.clip(idx, 0, N - 1), num_segments=N)
+
+    cdf = jnp.cumsum(hist)
+    if not lt:
+        cdf = cdf[-1] - cdf
+    return jnp.where(bincrease, cdf, cdf[::-1])
+
+
+def weighted_cdf(values: jax.Array, bins: jax.Array, weights: jax.Array,
+                 lt: bool) -> jax.Array:
+    """Batched weighted-histogram CDF.
+
+    Parameters
+    ----------
+    values : (..., Ny, Nx) field to histogram (NaN = missing).
+    bins : (N,) or (..., N) contour levels, monotonic per batch element.
+        Batched bins are vmapped — a capability the reference lacks.
+    weights : broadcastable to ``values``; NaN treated as 0.
+    lt : CDF of "less than" (True) or "greater or equal" (False).  Static.
+
+    Returns
+    -------
+    (..., N) with ``out[..., k]`` paired with ``bins[..., k]``.
+    """
+    batch_shape = values.shape[:-2]
+    G = values.shape[-2] * values.shape[-1]
+    v = jnp.reshape(values, batch_shape + (G,))
+    w = jnp.reshape(jnp.broadcast_to(weights, values.shape), batch_shape + (G,))
+
+    if bins.ndim == 1 and not batch_shape:
+        return _cdf_single(v, bins, w, lt)
+
+    N = bins.shape[-1]
+    b = jnp.broadcast_to(bins, batch_shape + (N,))
+    vf = jnp.reshape(v, (-1, G))
+    wf = jnp.reshape(w, (-1, G))
+    bf = jnp.reshape(b, (-1, N))
+    out = jax.vmap(_cdf_single, in_axes=(0, 0, 0, None))(vf, bf, wf, lt)
+    return jnp.reshape(out, batch_shape + (N,))

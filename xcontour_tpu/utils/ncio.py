@@ -1,0 +1,116 @@
+"""Minimal self-contained NetCDF I/O.
+
+The reference library leans on xarray for file handling; that dependency does
+not exist in this environment, so this module provides the small surface the
+framework needs:
+
+* :func:`load_dataset` reads either netCDF-4 (HDF5, via h5py) or classic
+  netCDF-3 (via scipy.io) files into a plain ``dict`` of numpy arrays plus a
+  dims mapping — enough for every bundled / synthesized fixture.
+* :func:`save_dataset` writes an HDF5/netCDF-4-flavoured file via h5py so
+  pipeline outputs can round-trip.
+
+No xarray semantics are emulated beyond named dimensions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Dataset:
+    """A minimal named-array container: variables + per-variable dim names."""
+
+    variables: Dict[str, np.ndarray] = field(default_factory=dict)
+    dims: Dict[str, Tuple[str, ...]] = field(default_factory=dict)
+    attrs: Dict[str, dict] = field(default_factory=dict)
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self.variables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.variables
+
+    def keys(self):
+        return self.variables.keys()
+
+    def dims_of(self, name: str) -> Tuple[str, ...]:
+        return self.dims[name]
+
+
+def _load_h5(path: str) -> Dataset:
+    import h5py
+
+    ds = Dataset()
+    with h5py.File(path, "r") as f:
+
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                data = obj[()]
+                # netCDF-4 stores dim names in the DIMENSION_LIST/attached scale
+                # metadata; fall back to phony names.
+                dim_names = []
+                for i, dim in enumerate(obj.dims):
+                    label = None
+                    if len(dim) > 0:
+                        label = dim[0].name.rsplit("/", 1)[-1]
+                    elif dim.label:
+                        label = dim.label
+                    dim_names.append(label or f"phony_dim_{i}")
+                key = name.rsplit("/", 1)[-1]
+                ds.variables[key] = np.asarray(data)
+                ds.dims[key] = tuple(dim_names)
+                ds.attrs[key] = {
+                    k: v for k, v in obj.attrs.items() if not k.startswith(("DIMENSION", "CLASS", "NAME", "REFERENCE"))
+                }
+
+        f.visititems(visit)
+    return ds
+
+
+def _load_nc3(path: str) -> Dataset:
+    from scipy.io import netcdf_file
+
+    ds = Dataset()
+    with netcdf_file(path, "r", mmap=False) as f:
+        for name, var in f.variables.items():
+            ds.variables[name] = np.asarray(var[:])
+            ds.dims[name] = tuple(var.dimensions)
+            ds.attrs[name] = dict(var._attributes)
+    return ds
+
+
+def load_dataset(path: str) -> Dataset:
+    """Read a netCDF file (HDF5-backed or classic) into a :class:`Dataset`."""
+    try:
+        return _load_h5(path)
+    except OSError:
+        return _load_nc3(path)
+
+
+def save_dataset(path: str, variables: Dict[str, np.ndarray], dims: Dict[str, Tuple[str, ...]],
+                 coords: Dict[str, np.ndarray] | None = None) -> None:
+    """Write variables to an HDF5 (netCDF-4 flavoured) file.
+
+    ``coords`` are 1-D coordinate variables attached as HDF5 dimension scales
+    so :func:`load_dataset` recovers dim names on read.
+    """
+    import h5py
+
+    coords = coords or {}
+    with h5py.File(path, "w") as f:
+        for cname, cvals in coords.items():
+            d = f.create_dataset(cname, data=np.asarray(cvals))
+            d.make_scale(cname)
+        for vname, vals in variables.items():
+            if vname in coords:
+                continue
+            d = f.create_dataset(vname, data=np.asarray(vals))
+            for axis, dname in enumerate(dims.get(vname, ())):
+                if dname in coords:
+                    d.dims[axis].attach_scale(f[dname])
+                    d.dims[axis].label = dname
