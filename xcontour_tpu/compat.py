@@ -42,7 +42,11 @@ def contours_linspace(tracer: np.ndarray, N: int, increase: bool = True) -> np.n
     mmax = np.nanmax(tracer)
     start, end = (mmin, mmax) if increase else (mmax, mmin)
     steps = (end - start) / (N - 1.0)
-    return steps * np.arange(N) + start
+    levels = steps * np.arange(N) + start
+    # pin the endpoint exactly (np.linspace semantics); the reference's open
+    # formula can drop the extreme cell from every >=-CDF by 1 ulp
+    levels[-1] = end
+    return levels
 
 
 # ----------------------------------------------------------------------------
@@ -435,6 +439,67 @@ def equivalent_latitudes(areas: np.ndarray, Rearth: float = _REARTH) -> np.ndarr
 def latitude_lengths_at(lats: np.ndarray, Rearth: float = _REARTH) -> np.ndarray:
     """reference utils.py:518-534."""
     return 2.0 * np.pi * Rearth * np.cos(np.deg2rad(lats))
+
+
+def keff_snapshot(tracer: np.ndarray, grdS: np.ndarray, ydef: np.ndarray,
+                  dA: np.ndarray, dxF: np.ndarray, mask: np.ndarray,
+                  pre_y: np.ndarray, N: int = 251, increase: bool = True,
+                  lt: bool = True, hist: bool = True, lmin: str = "dxF",
+                  nkeff_mask: float = 2e7) -> dict:
+    """Reference Keff chain on one snapshot (tests/test_hist.py:16-101):
+    the CPU oracle/baseline for the jitted keff_pipeline."""
+    ctr = contours_linspace(tracer, N, increase)
+    if hist:
+        yc, tbl = area_table_hist(mask, ydef, dA, increase, lt)
+        int_area = integral_within_contours_hist(tracer, ctr, dA, None, lt)
+        int_grdS = integral_within_contours_hist(tracer, ctr, dA, grdS, lt)
+    else:
+        yc, tbl = area_table_broadcast(mask, ydef, dA, increase, lt)
+        int_area = integral_within_contours(tracer, ctr, dA, None, lt)
+        int_grdS = integral_within_contours(tracer, ctr, dA, grdS, lt)
+    yeq = table_lookup_coordinates(tbl, yc, int_area)
+
+    if lmin == "analytic":
+        Lmin = latitude_lengths_at(yeq)
+    elif lmin == "dxF":
+        pre_lmin = np.sum(mask * dxF, axis=-1)
+        Lmin = interp_to_coords(yeq, ydef, pre_lmin, ydef[-1] > ydef[0])
+    elif lmin == "frac":
+        lat_len = latitude_lengths_at(ydef)
+        frac = np.sum(mask, axis=-1) / mask.shape[-1]
+        Lmin = interp_to_coords(yeq, ydef, frac * lat_len, ydef[-1] > ydef[0])
+    else:
+        raise ValueError(lmin)
+
+    dgrdSdA = gradient_wrt_area(int_grdS, int_area)
+    dqdA = gradient_wrt_area(ctr, int_area)
+    Leq2 = dgrdSdA / dqdA ** 2
+    nkeff = Leq2 / Lmin / Lmin
+    nkeff = np.where(nkeff < nkeff_mask, nkeff, np.nan)
+
+    origin = dict(contour=ctr, intArea=int_area, Yeq=yeq, intgrdS=int_grdS,
+                  dgrdSdA=dgrdSdA, dqdA=dqdA, Leq2=Leq2, Lmin=Lmin,
+                  nkeff=nkeff, table=tbl, table_coords=yc)
+    inc = yeq[0] < yeq[-1]
+    interp = {k: interp_to_coords(pre_y, yeq, v, inc)
+              for k, v in origin.items() if not k.startswith("table")}
+    return dict(origin=origin, interp=interp)
+
+
+def lwa_snapshot(tracer: np.ndarray, ydef: np.ndarray, dA: np.ndarray,
+                 mask: np.ndarray, N: int = 121, increase: bool = True,
+                 lt: bool = True, part: str = "all") -> dict:
+    """Reference LWA chain on one snapshot (tests/test_LWA.py:48-87):
+    hist table -> areas -> latEq -> sorted profile Q -> LWA + variant 2."""
+    ctr = contours_linspace(tracer, N, increase)
+    yc, tbl = area_table_hist(mask, ydef, dA, increase, lt)
+    int_area = integral_within_contours_hist(tracer, ctr, dA, None, lt)
+    yeq = table_lookup_coordinates(tbl, yc, int_area)
+    Q = interp_to_coords(ydef, yeq, ctr, yeq[0] < yeq[-1])
+    lwa = local_wave_activity(tracer, Q, dA, ydef, increase, part)
+    lwa2 = local_wave_activity2(tracer, Q, dA, ydef, increase, part)
+    return dict(contour=ctr, intArea=int_area, latEq=yeq, Q=Q,
+                lwa=lwa, lwa2=lwa2)
 
 
 def squared_gradient(q: np.ndarray, ydef: np.ndarray, xdef: np.ndarray,

@@ -49,7 +49,11 @@ def cal_contours(tracer: jax.Array, N: int, *, increase: bool = True) -> jax.Arr
     mmax = jnp.nanmax(tracer, axis=(-2, -1))
     start, end = (mmin, mmax) if increase else (mmax, mmin)
     steps = (end - start) / (N - 1.0)
-    return steps[..., None] * jnp.arange(N, dtype=tracer.dtype) + start[..., None]
+    levels = steps[..., None] * jnp.arange(N, dtype=tracer.dtype) + start[..., None]
+    # pin the endpoint to the exact extremum (np.linspace semantics): with the
+    # open formula the last level can land 1 ulp short of the tracer max and
+    # silently drop the extreme cell from every >=-CDF
+    return levels.at[..., -1].set(end)
 
 
 # ---------------------------------------------------------------------------

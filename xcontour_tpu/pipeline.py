@@ -1,0 +1,123 @@
+"""End-to-end jitted workloads mirroring the reference driver scripts.
+
+Each pipeline is one jit-compiled function over the whole diagnostic chain —
+the composition the reference scripts build step-by-step through xarray
+(tests/test_hist.py:16-101 ``computeKeff``/``computeKeff_hist``,
+tests/test_Keff_atmos.py:58-92, tests/test_LWA.py:48-87) — so XLA fuses the
+histogram, table lookups, interpolation and Keff algebra into a handful of
+kernels, and batching over time/level is a leading array axis instead of a
+Python loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .grid import Grid, latitude_lengths_at
+from . import core
+from .ops.stencil import squared_gradient
+from .ops.interp import interp1d
+from .diagnostics import lwa as _lwa
+
+
+@partial(jax.jit, static_argnames=("N", "increase", "lt", "hist", "lmin"))
+def keff_pipeline(tracer: jax.Array, grid: Grid, grdS: Optional[jax.Array] = None,
+                  mask: Optional[jax.Array] = None,
+                  pre_y: Optional[jax.Array] = None, *, N: int = 251,
+                  increase: bool = True, lt: bool = True, hist: bool = True,
+                  lmin: str = "dxF", nkeff_mask: float = 2e7) -> dict:
+    """Full effective-diffusivity chain on (..., Ny, Nx) snapshots.
+
+    Mirrors reference tests/test_hist.py:16-101: contours -> conditional
+    area/gradient integrals -> A(Yeq) table lookup -> d/dA -> Leq^2 -> nkeff,
+    plus interpolation onto ``pre_y``.
+
+    lmin : 'dxF'      — masked zonal sum of dxF interpolated to Yeq
+                        (tests/test_Keff_ocean.py:59-65);
+           'analytic' — 2*pi*R*cos(Yeq) (tests/test_Keff_atmos.py:64);
+           'frac'     — latitude_lengths_at(lat) * zonal fluid fraction
+                        (tests/test_clength.py:78-85).
+    """
+    ydef = grid.ydef.astype(tracer.dtype)
+    dA = grid.dA.astype(tracer.dtype)
+    if mask is None:
+        mask = grid.fluid_mask(tracer.dtype)
+    if grdS is None:
+        grdS = squared_gradient(tracer, grid)
+
+    if hist:
+        table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
+                                                 increase=increase, lt=lt)
+        area = core.cal_integral_within_contours_hist
+    else:
+        table = core.cal_area_eqCoord_table(mask, ydef, dA,
+                                            increase=increase, lt=lt)
+        area = core.cal_integral_within_contours
+
+    ctr = core.cal_contours(tracer, N, increase=increase)
+    intArea = area(tracer, ctr, dA, lt=lt)
+    intgrdS = area(tracer, ctr, dA, grdS, lt=lt)
+    Yeq = table.lookup_coordinates(intArea)
+
+    if lmin == "analytic":
+        Lmin = latitude_lengths_at(Yeq)
+    elif lmin == "dxF":
+        pre_lmin = jnp.sum(mask * grid.dxF.astype(tracer.dtype), axis=-1)
+        Lmin = interp1d(Yeq, ydef, pre_lmin, increasing=ydef[-1] > ydef[0])
+    elif lmin == "frac":
+        lat_len = latitude_lengths_at(ydef)
+        frac = jnp.sum(mask, axis=-1) / mask.shape[-1]
+        Lmin = interp1d(Yeq, ydef, frac * lat_len,
+                        increasing=ydef[-1] > ydef[0])
+    else:
+        raise ValueError(f"unknown lmin mode {lmin!r}")
+
+    dgrdSdA = core.cal_gradient_wrt_area(intgrdS, intArea)
+    dqdA = core.cal_gradient_wrt_area(ctr, intArea)
+    Leq2 = core.cal_sqared_equivalent_length(dgrdSdA, dqdA)
+    nkeff = core.cal_normalized_Keff(Leq2, Lmin, nkeff_mask)
+
+    origin = dict(contour=ctr, intArea=intArea, Yeq=Yeq, intgrdS=intgrdS,
+                  dgrdSdA=dgrdSdA, dqdA=dqdA, Leq2=Leq2, Lmin=Lmin,
+                  nkeff=nkeff, table=table.values)
+    out = dict(origin=origin)
+    if pre_y is not None:
+        pre_y = pre_y.astype(tracer.dtype)
+        interp = {k: core.interp_to_coords(pre_y, Yeq, v)
+                  for k, v in origin.items() if k != "table"}
+        out["interp"] = interp
+    return out
+
+
+@partial(jax.jit, static_argnames=("N", "increase", "lt", "part"))
+def lwa_pipeline(tracer: jax.Array, grid: Grid,
+                 mask: Optional[jax.Array] = None, *, N: int = 121,
+                 increase: bool = True, lt: bool = True,
+                 part: str = "all") -> dict:
+    """Sorted-state + local wave activity chain (tests/test_LWA.py:48-87):
+    contours -> areas -> latEq -> sorted profile Q on the grid latitudes ->
+    LWA and the impulse-Casimir variant."""
+    ydef = grid.ydef.astype(tracer.dtype)
+    dA = grid.dA.astype(tracer.dtype)
+    if mask is None:
+        mask = grid.fluid_mask(tracer.dtype)
+
+    table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
+                                             increase=increase, lt=lt)
+    ctr = core.cal_contours(tracer, N, increase=increase)
+    intArea = core.cal_integral_within_contours_hist(tracer, ctr, dA, lt=lt)
+    latEq = table.lookup_coordinates(intArea)
+
+    # sorted reference state Q on the original grid latitudes
+    Q = core.interp_to_coords(ydef, latEq, ctr)
+
+    lwa = _lwa.local_wave_activity(tracer, Q, dA, ydef,
+                                   increase=increase, part=part)
+    lwa2 = _lwa.local_wave_activity2(tracer, Q, dA, ydef,
+                                     increase=increase, part=part)
+    return dict(contour=ctr, intArea=intArea, latEq=latEq, Q=Q,
+                lwa=lwa, lwa2=lwa2)
