@@ -1,0 +1,155 @@
+"""LWA / LAPE parity and physical-invariant tests.
+
+Mirrors the reference's LWA workloads (tests/test_LWA.py for the barotropic
+vorticity case, tests/test_LAPE.py for the vertical-plane buoyancy case) with
+real assertions: JAX kernels vs the NumPy oracle, LWA-vs-variant-2 antisymmetry
+(the reference's own difference-panel check, tests/test_LWA.py:121-124), and
+positive-definiteness of -LAPE.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from xcontour_tpu import compat
+from xcontour_tpu import grid as G
+from xcontour_tpu.diagnostics.lwa import (
+    local_wave_activity, local_wave_activity2, lwa_masks_at)
+from xcontour_tpu.pipeline import lwa_pipeline
+
+
+@pytest.fixture(scope="module")
+def lwa_case(vorticity):
+    lat, lon, vor = vorticity
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    mask = np.ones_like(vor)
+    state = compat.lwa_snapshot(vor, lat, np.asarray(grid.dA), mask,
+                                N=121, increase=True, lt=True)
+    return lat, lon, vor, grid, mask, state
+
+
+@pytest.mark.parametrize("part", ["all", "upper", "lower"])
+def test_lwa_matches_oracle(lwa_case, part):
+    lat, lon, vor, grid, mask, state = lwa_case
+    Q = state["Q"]
+    want = compat.local_wave_activity(vor, Q, np.asarray(grid.dA), lat,
+                                      increase=True, part=part)
+    got = local_wave_activity(jnp.asarray(vor), jnp.asarray(Q), grid.dA,
+                              grid.ydef, increase=True, part=part)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10, atol=1e-8)
+
+
+def test_lwa2_matches_oracle(lwa_case):
+    lat, lon, vor, grid, mask, state = lwa_case
+    Q = state["Q"]
+    want = compat.local_wave_activity2(vor, Q, np.asarray(grid.dA), lat,
+                                       increase=True, part="all")
+    got = local_wave_activity2(jnp.asarray(vor), jnp.asarray(Q), grid.dA,
+                               grid.ydef, increase=True, part="all")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10, atol=1e-8)
+
+
+def test_lwa_pipeline_matches_oracle(lwa_case):
+    lat, lon, vor, grid, mask, state = lwa_case
+    got = lwa_pipeline(jnp.asarray(vor), grid, jnp.asarray(mask),
+                       N=121, increase=True, lt=True)
+    np.testing.assert_allclose(np.asarray(got["latEq"]), state["latEq"],
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got["Q"]), state["Q"], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got["lwa"]), state["lwa"],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got["lwa2"]), state["lwa2"],
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_lwa_parts_decompose(lwa_case):
+    """W+ and W- parts sum to the total (partition property of the 3-valued
+    mask, reference core.py:772-784)."""
+    lat, lon, vor, grid, mask, state = lwa_case
+    Q = jnp.asarray(state["Q"])
+    v = jnp.asarray(vor)
+    allp = local_wave_activity(v, Q, grid.dA, grid.ydef, increase=True, part="all")
+    up = local_wave_activity(v, Q, grid.dA, grid.ydef, increase=True, part="upper")
+    lo = local_wave_activity(v, Q, grid.dA, grid.ydef, increase=True, part="lower")
+    np.testing.assert_allclose(np.asarray(up + lo), np.asarray(allp),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_lwa_sign_invariants(lwa_case):
+    """LWA >= 0 and -LWA2 >= 0 for part='all' (the reference plots both as
+    positive fields, tests/test_LWA.py:112-119)."""
+    lat, lon, vor, grid, mask, state = lwa_case
+    assert np.nanmin(state["lwa"]) >= -1e-9
+    assert np.nanmin(-state["lwa2"]) >= -1e-9
+
+
+def test_lwa_dy_metric_physical_scale(lwa_case):
+    """With the intended wei*dy metric (reference core.py:787-788) LWA lands
+    in the O(10 m/s) range of the reference's 0-30 plot levels
+    (tests/test_LWA.py:112), unlike the vendored wei*dA composition."""
+    lat, lon, vor, grid, mask, state = lwa_case
+    got = lwa_pipeline(jnp.asarray(vor), grid, jnp.asarray(mask),
+                       N=121, increase=True, lt=True, metric="dy")
+    mx = float(np.nanmax(np.asarray(got["lwa"])))
+    assert 5.0 < mx < 100.0
+    assert float(np.nanmin(np.asarray(got["lwa"]))) >= -1e-9
+
+
+def test_lwa_masks_capture(lwa_case):
+    """Mask capture at selected surfaces matches the oracle mask build."""
+    lat, lon, vor, grid, mask, state = lwa_case
+    Q = state["Q"]
+    idx = [37, 125, 170, 213]
+    contours, masks = lwa_masks_at(jnp.asarray(vor), jnp.asarray(Q), grid.dA,
+                                   grid.ydef, idx, increase=True)
+    np.testing.assert_allclose(np.asarray(contours), Q[idx], rtol=1e-12)
+    wei = np.ones_like(vor)
+    for k, j in enumerate(idx):
+        qe = vor - Q[j]
+        m = lat >= lat[j]
+        want = compat._lwa_masks(qe, m[:, None], True)
+        np.testing.assert_allclose(np.asarray(masks[k]), want)
+
+
+def test_lape_vertical_plane():
+    """Vertical-plane LAPE on a synthetic stratified state: -LAPE is positive
+    semi-definite (reference notebook 3 invariant) and matches the oracle.
+
+    Uses the LAPE flag convention increase=False, lt=False
+    (tests/test_LAPE.py:47-49) on an X-Z grid with depth decreasing downward.
+    """
+    rng = np.random.default_rng(7)
+    Nz, Nx = 40, 64
+    z = -np.linspace(2.5, 197.5, Nz)          # 0 .. -200 m, decreasing
+    x = np.linspace(10, 8950, Nx)
+    grid = G.from_xz(z, x, dim_names=("Z", "XC"), dtype=jnp.float64)
+
+    # stable stratification + internal-wave displacement
+    b0 = 1e-3 * (z / 200.0)                    # buoyancy decreasing with depth
+    eta = 15.0 * np.sin(2 * np.pi * x / 4480.0)
+    b = b0[:, None] + 1e-3 * eta[None, :] / 200.0
+    b += 1e-6 * rng.standard_normal((Nz, Nx))
+
+    state = compat.lwa_snapshot(b, z, np.asarray(grid.dA), np.ones_like(b),
+                                N=81, increase=False, lt=False)
+    got = lwa_pipeline(jnp.asarray(b), grid, jnp.asarray(np.ones_like(b)),
+                       N=81, increase=False, lt=False)
+    np.testing.assert_allclose(np.asarray(got["Q"]), state["Q"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got["lwa"]), state["lwa"],
+                               rtol=1e-8, atol=1e-12)
+    # -LAPE >= 0 up to roundoff (W&B13 positive-definite density)
+    lape = np.asarray(got["lwa"])
+    assert np.nanmin(-lape) > -1e-10
+
+
+def test_lwa_batched_matches_loop(lwa_case):
+    lat, lon, vor, grid, mask, state = lwa_case
+    batch = np.stack([vor, 0.8 * vor])
+    got = lwa_pipeline(jnp.asarray(batch), grid, jnp.asarray(mask),
+                       N=61, increase=True, lt=True)
+    for b in range(2):
+        one = lwa_pipeline(jnp.asarray(batch[b]), grid, jnp.asarray(mask),
+                           N=61, increase=True, lt=True)
+        np.testing.assert_allclose(np.asarray(got["lwa"][b]),
+                                   np.asarray(one["lwa"]), rtol=1e-10,
+                                   atol=1e-10)

@@ -229,14 +229,19 @@ def _lwa_part_select(mask3: np.ndarray, part: str, increase: bool) -> np.ndarray
 
 def local_wave_activity(q: np.ndarray, Q: np.ndarray, dA: np.ndarray,
                         ydef: np.ndarray, increase: bool,
-                        part: str = "all") -> np.ndarray:
+                        part: str = "all", weight=None) -> np.ndarray:
     """LWA (Huang-Nakamura 2016) loop form, reference core.py:696-799:
     for each eq-dim surface j, LWA_j(x) = -sum_y qe*mask*wei*dA with
-    wei = dA/max(dA) (core.py:723-724, 789)."""
+    wei = dA/max(dA) (core.py:723-724, 789).  ``weight`` overrides the full
+    composed weight W = wei*dA (e.g. wei*dy for m/s units)."""
     q = np.asarray(q, np.float64)
     Q = np.asarray(Q, np.float64)
     y = np.asarray(ydef, np.float64)
-    wei = dA / np.nanmax(dA)
+    if weight is not None:
+        dA = np.ones_like(dA)
+        wei = weight
+    else:
+        wei = dA / np.nanmax(dA)
     coord_incre = not (y[-1] < y[0])
     Ny = y.shape[0]
     lwa = np.empty_like(q)
@@ -251,13 +256,17 @@ def local_wave_activity(q: np.ndarray, Q: np.ndarray, dA: np.ndarray,
 
 def local_wave_activity2(q: np.ndarray, Q: np.ndarray, dA: np.ndarray,
                          ydef: np.ndarray, increase: bool,
-                         part: str = "all") -> np.ndarray:
+                         part: str = "all", weight=None) -> np.ndarray:
     """Impulse-Casimir variant, reference core.py:802-905: qe = q_j - Q and the
     increase branches swapped (core.py:860-872)."""
     q = np.asarray(q, np.float64)
     Q = np.asarray(Q, np.float64)
     y = np.asarray(ydef, np.float64)
-    wei = dA / np.nanmax(dA)
+    if weight is not None:
+        dA = np.ones_like(dA)
+        wei = weight
+    else:
+        wei = dA / np.nanmax(dA)
     coord_incre = not (y[-1] < y[0])
     Ny = y.shape[0]
     lwa = np.empty_like(q)

@@ -58,16 +58,21 @@ def _chunked_over_surfaces(fn, Ny: int, chunk: int):
 
 @partial(jax.jit, static_argnames=("increase", "part", "chunk"))
 def local_wave_activity(q, Q, dA, ydef, *, increase: bool, part: str = "all",
-                        chunk: int = 16):
+                        chunk: int = 16, weight=None):
     """LWA (Huang-Nakamura 2016), reference core.py:696-799.
 
     q : (..., Ny, Nx) tracer;  Q : (..., Ny) sorted profile on ydef;
     dA : (Ny, Nx) cell areas;  ydef : (Ny,).
     Returns LWA (..., Ny, Nx): surface index j along axis -2.
-    Weight is wei*dA with wei = dA/max(dA) (core.py:723-724, 789).
+
+    ``weight`` is the composed integration weight W(y, x); the default
+    reproduces the reference's wei*dA with wei = dA/max(dA)
+    (core.py:723-724, 789).  Pass wei*dy (the meridional line element) for the
+    physically-united m/s form the reference's commented-out metric intends
+    (core.py:787-788, SURVEY.md §0.2).
     """
     part = part.lower()
-    wei_dA = dA / jnp.nanmax(dA) * dA
+    wei_dA = dA / jnp.nanmax(dA) * dA if weight is None else weight
     coord_incre = ydef[-1] > ydef[0]
 
     def one(j):
@@ -84,12 +89,13 @@ def local_wave_activity(q, Q, dA, ydef, *, increase: bool, part: str = "all",
 
 @partial(jax.jit, static_argnames=("increase", "part", "chunk"))
 def local_wave_activity2(q, Q, dA, ydef, *, increase: bool, part: str = "all",
-                         chunk: int = 16):
+                         chunk: int = 16, weight=None):
     """Impulse-Casimir variant (core.py:802-905): qe = q_j - Q, mask branches
     swapped (core.py:865-872) while part selection keys off the original
-    ``increase`` flag (core.py:879-890)."""
+    ``increase`` flag (core.py:879-890).  ``weight`` as in
+    :func:`local_wave_activity`."""
     part = part.lower()
-    wei_dA = dA / jnp.nanmax(dA) * dA
+    wei_dA = dA / jnp.nanmax(dA) * dA if weight is None else weight
     coord_incre = ydef[-1] > ydef[0]
 
     def one(j):

@@ -93,16 +93,28 @@ def keff_pipeline(tracer: jax.Array, grid: Grid, grdS: Optional[jax.Array] = Non
     return out
 
 
-@partial(jax.jit, static_argnames=("N", "increase", "lt", "part"))
+@partial(jax.jit, static_argnames=("N", "increase", "lt", "part", "metric"))
 def lwa_pipeline(tracer: jax.Array, grid: Grid,
                  mask: Optional[jax.Array] = None, *, N: int = 121,
                  increase: bool = True, lt: bool = True,
-                 part: str = "all") -> dict:
+                 part: str = "all", metric: str = "dA") -> dict:
     """Sorted-state + local wave activity chain (tests/test_LWA.py:48-87):
     contours -> areas -> latEq -> sorted profile Q on the grid latitudes ->
-    LWA and the impulse-Casimir variant."""
+    LWA and the impulse-Casimir variant.
+
+    metric : 'dA' — the reference's literal wei*dA composition
+             (core.py:723-724, 789);
+             'dy' — wei*dyF, the physically-united (m/s) form the reference's
+             commented-out grid metric intends (core.py:787-788).
+    """
     ydef = grid.ydef.astype(tracer.dtype)
     dA = grid.dA.astype(tracer.dtype)
+    if metric == "dA":
+        weight = None
+    elif metric == "dy":
+        weight = dA / jnp.nanmax(dA) * grid.dyF.astype(tracer.dtype)
+    else:
+        raise ValueError(f"unknown LWA metric {metric!r}")
     if mask is None:
         mask = grid.fluid_mask(tracer.dtype)
 
@@ -116,8 +128,9 @@ def lwa_pipeline(tracer: jax.Array, grid: Grid,
     Q = core.interp_to_coords(ydef, latEq, ctr)
 
     lwa = _lwa.local_wave_activity(tracer, Q, dA, ydef,
-                                   increase=increase, part=part)
+                                   increase=increase, part=part, weight=weight)
     lwa2 = _lwa.local_wave_activity2(tracer, Q, dA, ydef,
-                                     increase=increase, part=part)
+                                     increase=increase, part=part,
+                                     weight=weight)
     return dict(contour=ctr, intArea=intArea, latEq=latEq, Q=Q,
                 lwa=lwa, lwa2=lwa2)
