@@ -25,9 +25,13 @@ import jax
 import jax.numpy as jnp
 
 
-def _cdf_single(values: jax.Array, bins: jax.Array, weights: jax.Array,
-                lt: bool) -> jax.Array:
-    """CDF for one flattened sample set.  values/weights: (G,), bins: (N,)."""
+def bincount_single(values: jax.Array, bins: jax.Array, weights: jax.Array):
+    """Ascending-order weighted histogram for one flattened sample set.
+
+    values/weights: (G,), bins: (N,).  Returns (hist (N,), bincrease) where
+    hist is in ascending-bin-value order.  This is the local building block
+    the sharded (shard_map + psum) path reuses.
+    """
     N = bins.shape[0]
     bincrease = bins[0] < bins[-1]
     asc = jnp.where(bincrease, bins, bins[::-1])
@@ -43,11 +47,23 @@ def _cdf_single(values: jax.Array, bins: jax.Array, weights: jax.Array,
     w = jnp.where(jnp.isnan(weights), 0.0, weights)
     w = jnp.where(valid, w, 0.0)
     hist = jax.ops.segment_sum(w, jnp.clip(idx, 0, N - 1), num_segments=N)
+    return hist, bincrease
 
-    cdf = jnp.cumsum(hist)
+
+def cdf_from_hist(hist: jax.Array, bincrease, lt: bool) -> jax.Array:
+    """Prefix-scan an ascending-order histogram into the reference CDF
+    (lt/gt flip + decreasing-bin re-pairing)."""
+    cdf = jnp.cumsum(hist, axis=-1)
     if not lt:
-        cdf = cdf[-1] - cdf
-    return jnp.where(bincrease, cdf, cdf[::-1])
+        cdf = cdf[..., -1:] - cdf
+    return jnp.where(bincrease, cdf, cdf[..., ::-1])
+
+
+def _cdf_single(values: jax.Array, bins: jax.Array, weights: jax.Array,
+                lt: bool) -> jax.Array:
+    """CDF for one flattened sample set.  values/weights: (G,), bins: (N,)."""
+    hist, bincrease = bincount_single(values, bins, weights)
+    return cdf_from_hist(hist, bincrease, lt)
 
 
 def weighted_cdf(values: jax.Array, bins: jax.Array, weights: jax.Array,

@@ -134,3 +134,60 @@ def lwa_pipeline(tracer: jax.Array, grid: Grid,
                                      weight=weight)
     return dict(contour=ctr, intArea=intArea, latEq=latEq, Q=Q,
                 lwa=lwa, lwa2=lwa2)
+
+
+@partial(jax.jit, static_argnames=("N", "increase", "lt", "lmin", "metric",
+                                   "with_lwa2"))
+def keff_lwa_pipeline(tracer: jax.Array, grid: Grid,
+                      grdS: Optional[jax.Array] = None,
+                      mask: Optional[jax.Array] = None,
+                      pre_y: Optional[jax.Array] = None, *, N: int = 121,
+                      increase: bool = True, lt: bool = True,
+                      lmin: str = "analytic", metric: str = "dA",
+                      with_lwa2: bool = False) -> dict:
+    """The flagship combined step: full Keff chain + LWA from one shared
+    sorted state (table, contours, areas computed once).  This is the
+    BASELINE.json north-star workload — Keff + LWA over batches of global PV
+    snapshots — as a single fused XLA program."""
+    ydef = grid.ydef.astype(tracer.dtype)
+    dA = grid.dA.astype(tracer.dtype)
+    if mask is None:
+        mask = grid.fluid_mask(tracer.dtype)
+    if grdS is None:
+        grdS = squared_gradient(tracer, grid)
+
+    table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
+                                             increase=increase, lt=lt)
+    ctr = core.cal_contours(tracer, N, increase=increase)
+    intArea = core.cal_integral_within_contours_hist(tracer, ctr, dA, lt=lt)
+    intgrdS = core.cal_integral_within_contours_hist(tracer, ctr, dA, grdS,
+                                                     lt=lt)
+    Yeq = table.lookup_coordinates(intArea)
+
+    if lmin == "analytic":
+        Lmin = latitude_lengths_at(Yeq)
+    else:
+        pre_lmin = jnp.sum(mask * grid.dxF.astype(tracer.dtype), axis=-1)
+        Lmin = interp1d(Yeq, ydef, pre_lmin, increasing=ydef[-1] > ydef[0])
+
+    dgrdSdA = core.cal_gradient_wrt_area(intgrdS, intArea)
+    dqdA = core.cal_gradient_wrt_area(ctr, intArea)
+    Leq2 = core.cal_sqared_equivalent_length(dgrdSdA, dqdA)
+    nkeff = core.cal_normalized_Keff(Leq2, Lmin, 2e7)
+
+    Q = core.interp_to_coords(ydef, Yeq, ctr)
+    weight = (dA / jnp.nanmax(dA) * grid.dyF.astype(tracer.dtype)
+              if metric == "dy" else None)
+    lwa = _lwa.local_wave_activity(tracer, Q, dA, ydef, increase=increase,
+                                   part="all", weight=weight)
+    out = dict(contour=ctr, intArea=intArea, intgrdS=intgrdS, Yeq=Yeq,
+               Lmin=Lmin, Leq2=Leq2, nkeff=nkeff, Q=Q, lwa=lwa)
+    if with_lwa2:
+        out["lwa2"] = _lwa.local_wave_activity2(tracer, Q, dA, ydef,
+                                                increase=increase, part="all",
+                                                weight=weight)
+    if pre_y is not None:
+        pre_y = pre_y.astype(tracer.dtype)
+        for k in ("Leq2", "nkeff", "Lmin"):
+            out[k + "_at"] = core.interp_to_coords(pre_y, Yeq, out[k])
+    return out
