@@ -1,0 +1,95 @@
+"""Host-side contour extraction (native C++ traversal) tests."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from xcontour_tpu.host import find_contour, contour_length, contour_area
+from xcontour_tpu.host import native, breaking
+from xcontour_tpu.diagnostics.length import contour_lengths
+
+
+def _circle_field(n=201):
+    y = np.linspace(-1, 1, n)
+    x = np.linspace(-1, 1, n)
+    return y, x, np.hypot(y[:, None], x[None, :])
+
+
+def test_native_builds_and_matches_numpy():
+    y, x, r = _circle_field(101)
+    got_native = native.find_contours_native(r, 0.5)
+    assert got_native is not None, "C++ traversal should build in this image"
+    got_numpy = native.find_contours_numpy(r, 0.5)
+    # same total vertex count and total length regardless of ordering
+    ln = sorted(len(s) for s in got_native)
+    lp = sorted(len(s) for s in got_numpy)
+    assert ln == lp
+    def total(segs):
+        return sum(np.sum(np.hypot(np.diff(s[:, 0]), np.diff(s[:, 1])))
+                   for s in segs)
+    np.testing.assert_allclose(total(got_native), total(got_numpy), rtol=1e-12)
+
+
+def test_find_contour_circle_closed():
+    y, x, r = _circle_field(301)
+    segs = find_contour(r, (y, x), 0.6)
+    assert len(segs) == 1
+    seg = segs[0]
+    # closed loop: endpoints coincide
+    np.testing.assert_allclose(seg[0], seg[-1])
+    L = contour_length(seg, latlon=False)
+    np.testing.assert_allclose(L, 2 * np.pi * 0.6, rtol=2e-3)
+
+
+def test_polyline_total_matches_tpu_kernel(vorticity):
+    """Traversal-based total length == the traversal-free TPU kernel —
+    the two implementations share only the per-cell rule definitions."""
+    lat, lon, vor = vorticity
+    for level in (4e-5, 7e-5):
+        segs = find_contour(vor, (lat, lon), level)
+        host_total = sum(contour_length(s, latlon=True) for s in segs)
+        kern = float(np.asarray(contour_lengths(
+            jnp.asarray(vor), jnp.asarray([level]), jnp.asarray(lat),
+            jnp.asarray(lon), latlon=True))[0])
+        np.testing.assert_allclose(host_total, kern, rtol=1e-9)
+
+
+def test_contour_area_circle():
+    y, x, r = _circle_field(401)
+    segs = native.find_contours(r, 0.5)
+    assert len(segs) == 1
+    # area in index units: radius 0.5 spans 0.5/ (2/400) = 100 index units
+    a = contour_area(segs[0])
+    np.testing.assert_allclose(a, np.pi * 100.0 ** 2, rtol=1e-3)
+
+
+def test_nan_region_splits_contours():
+    y, x, r = _circle_field(201)
+    r2 = r.copy()
+    r2[:, 95:105] = np.nan  # cut a vertical band through the circle
+    segs = find_contour(r2, (y, x), 0.6)
+    assert len(segs) >= 2
+    total = sum(contour_length(s, latlon=False) for s in segs)
+    assert total < 2 * np.pi * 0.6
+
+
+def test_breaking_chain_wraparound():
+    """A circumpolar wavy contour crossing the periodic boundary is stitched
+    into one full-coverage contour."""
+    nlat, nlon = 91, 180
+    lat = np.linspace(-89, 89, nlat)
+    lon = np.linspace(0, 358, nlon)
+    phi = np.deg2rad(lat)[:, None]
+    lam = np.deg2rad(lon)[None, :]
+    pv = np.sin(phi) + 0.15 * np.cos(phi) ** 2 * np.sin(3 * lam)
+    c = breaking.breaking_contour(pv, lat, lon, level=0.5, y_overlap=3.0,
+                                  x_extent=0.9, snap=True)
+    cover = len(np.unique(np.round(c[:, 0]))) / nlon
+    assert cover >= 0.9
+    # the contour lives near the latitude where sin(lat)=0.5 (30N) +- wave
+    assert 10 < np.mean(c[:, 1]) < 50
+
+
+def test_extraction_handles_all_nan():
+    f = np.full((10, 10), np.nan)
+    assert native.find_contours(f, 0.5) == []

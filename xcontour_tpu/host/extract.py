@@ -1,0 +1,88 @@
+"""Host-side contour extraction in coordinate space.
+
+Implements the reference's newer script-facing symbols (used by
+tests/test_breaking.py:412-421 and tests/test_clength.py:615-630):
+
+* ``find_contour(data, dims, level, period=...)`` — marching-squares polylines
+  mapped from index space to physical coordinates (with optional periodic
+  coordinate interpolation, mirroring np.interp's ``period`` argument);
+* ``contour_length(segment, latlon=...)`` — polyline length of a single
+  coordinate-space segment (1-arg variant of reference utils.py:565-609);
+* ``contour_area(verts)`` — shoelace area of a closed contour
+  (reference utils.py:537-561).
+
+Extraction runs on the native C++ traversal (csrc/marching.cpp) with a NumPy
+fallback; this path is for *connectivity-aware* analyses (wave breaking,
+contour grouping).  Total perimeter per contour — the only thing the bulk
+pipelines need — runs as the traversal-free TPU kernel in
+diagnostics/length.py instead.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..utils.constants import Rearth as _REARTH
+from .native import find_contours
+
+
+def find_contour(data, dims: Optional[Sequence] = None, level: float = 0.0,
+                 period: Sequence = (None, None)) -> List[np.ndarray]:
+    """Extract contour polylines at ``level`` in coordinate space.
+
+    data : 2-D array (Ny, Nx) (NaN = missing);
+    dims : (ydef, xdef) coordinate vectors, or None for index coordinates;
+    period : optional per-dim periods passed to the index->coordinate
+        interpolation (e.g. (None, 360) for global longitude).
+
+    Returns a list of (K, 2) arrays with columns (y, x), like the reference's
+    ``find_contour`` (segments in coordinate units).
+    """
+    d = np.asarray(data, np.float64)
+    segs = find_contours(d, float(level))
+    if dims is None:
+        return segs
+    ydef = np.asarray(dims[0], np.float64)
+    xdef = np.asarray(dims[1], np.float64)
+    yidx = np.arange(ydef.size)
+    xidx = np.arange(xdef.size)
+    out = []
+    for seg in segs:
+        ypos = (np.interp(seg[:, 0], yidx, ydef) if period[0] is None
+                else np.interp(seg[:, 0], yidx, ydef, period=period[0]))
+        xpos = (np.interp(seg[:, 1], xidx, xdef) if period[1] is None
+                else np.interp(seg[:, 1], xidx, xdef, period=period[1]))
+        out.append(np.c_[ypos, xpos])
+    return out
+
+
+def contour_length(segment: np.ndarray, latlon: bool = True,
+                   Rearth: float = _REARTH) -> float:
+    """Length of one coordinate-space polyline (columns (y, x); degrees if
+    ``latlon``).  Haversine on the sphere or hypot on the plane
+    (reference utils.py:705-761); NaN for degenerate segments."""
+    seg = np.asarray(segment, np.float64)
+    if seg.shape[0] <= 1:
+        return float("nan")
+    y = seg[:, 0]
+    x = seg[:, 1]
+    if latlon:
+        y = np.deg2rad(y)
+        x = np.deg2rad(x)
+        dlat = y[1:] - y[:-1]
+        dlon = x[1:] - x[:-1]
+        a = (np.sin(dlat / 2) ** 2 +
+             np.cos(y[:-1]) * np.cos(y[1:]) * np.sin(dlon / 2) ** 2)
+        return float(np.sum(2 * np.arcsin(np.sqrt(a))) * Rearth)
+    return float(np.sum(np.hypot(np.diff(y), np.diff(x))))
+
+
+def contour_area(verts: np.ndarray) -> float:
+    """Shoelace area enclosed by marching-squares vertices, orientation-
+    independent (reference utils.py:537-561, after floater/rclv)."""
+    v = np.asarray(verts, np.float64)
+    vr = np.roll(v, 1, axis=0)
+    elements = (vr[:, 1] + v[:, 1]) * (vr[:, 0] - v[:, 0])
+    return abs(elements.sum()) / 2.0
