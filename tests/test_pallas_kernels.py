@@ -1,0 +1,99 @@
+"""Pallas kernel parity (interpreter mode on the CPU test mesh).
+
+Every Pallas kernel has an XLA twin; these tests pin them together on small
+shapes so the TPU fast path is covered without TPU hardware.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from xcontour_tpu import compat
+from xcontour_tpu.kernels.lwa_pallas import lwa_pallas
+from xcontour_tpu.kernels.hist_pallas import histogram_pallas
+from xcontour_tpu.ops.histogram import weighted_cdf
+
+
+@pytest.mark.parametrize("lt", [True, False])
+@pytest.mark.parametrize("decreasing", [False, True])
+def test_hist_kernel_matches_oracle(rng, lt, decreasing):
+    B, Ny, Nx, N = 2, 16, 24, 13
+    v = rng.normal(size=(B, Ny * Nx))
+    w = rng.uniform(0.5, 2.0, size=(B, Ny * Nx))
+    v[0, 5] = np.nan
+    w[1, 7] = np.nan
+    outs = []
+    for b in range(B):
+        bins = np.linspace(np.nanmin(v[b]), np.nanmax(v[b]), N)
+        if decreasing:
+            bins = bins[::-1].copy()
+        outs.append((bins, compat.histogram_cdf(v[b], bins, w[b], lt)))
+
+    # drive through the pallas wrapper path (ascending edges + flip)
+    from xcontour_tpu.ops.histogram import _cdf_batched_pallas
+    import xcontour_tpu.kernels.hist_pallas as hk
+    orig = hk.histogram_pallas
+    hk.histogram_pallas = lambda *a, **k: orig(*a, interpret=True, **k)
+    try:
+        bf = jnp.asarray(np.stack([o[0] for o in outs]))
+        got = _cdf_batched_pallas(jnp.asarray(v), bf,
+                                  jnp.asarray(np.where(np.isnan(w), 0, w)), lt)
+    finally:
+        hk.histogram_pallas = orig
+    for b in range(B):
+        np.testing.assert_allclose(np.asarray(got[b]), outs[b][1], rtol=1e-10,
+                                   err_msg=f"b={b}")
+
+
+@pytest.mark.parametrize("variant2", [False, True])
+@pytest.mark.parametrize("increase", [True, False])
+@pytest.mark.parametrize("part", ["all", "upper", "lower"])
+def test_lwa_kernel_matches_oracle(rng, variant2, increase, part):
+    B, Ny, Nx = 2, 24, 16
+    ydef = np.linspace(-60, 60, Ny) if increase else -np.linspace(5, 120, Ny)
+    q = np.cumsum(rng.normal(size=(B, Ny, Nx)), axis=1)
+    q[0, 3, 4] = np.nan
+    dA = rng.uniform(0.5, 2.0, size=(Ny, Nx))
+    Q = np.sort(rng.normal(size=(B, Ny)), axis=-1)
+    W = dA / dA.max() * dA
+
+    fn = compat.local_wave_activity2 if variant2 else compat.local_wave_activity
+    want = np.stack([fn(q[b], Q[b], dA, ydef, increase, part)
+                     for b in range(B)])
+    got = lwa_pallas(jnp.asarray(q), jnp.asarray(Q), jnp.asarray(W),
+                     increase=increase, part=part, variant2=variant2,
+                     tile_j=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-9, atol=1e-9)
+
+
+def test_lwa_kernel_ragged_tile(rng):
+    """Ny not divisible by tile_j exercises the j < ny guard."""
+    B, Ny, Nx = 1, 13, 8
+    ydef = np.linspace(-60, 60, Ny)
+    q = rng.normal(size=(B, Ny, Nx))
+    dA = np.ones((Ny, Nx))
+    Q = np.sort(rng.normal(size=(B, Ny)), axis=-1)
+    want = compat.local_wave_activity(q[0], Q[0], dA, ydef, True, "all")
+    got = lwa_pallas(jnp.asarray(q), jnp.asarray(Q), jnp.asarray(dA / 1.0),
+                     increase=True, part="all", tile_j=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), want, rtol=1e-9, atol=1e-9)
+
+
+def test_weighted_cdf_pallas_switch(rng):
+    """The engine produces identical results through both backends."""
+    from xcontour_tpu import config
+    v = rng.normal(size=(3, 10, 12))
+    w = rng.uniform(0.5, 2.0, size=(10, 12))
+    bins = np.linspace(v.min(), v.max(), 9)
+    want = weighted_cdf(jnp.asarray(v), jnp.asarray(bins), jnp.asarray(w), True)
+    import xcontour_tpu.kernels.hist_pallas as hk
+    orig = hk.histogram_pallas
+    hk.histogram_pallas = lambda *a, **k: orig(*a, interpret=True, **k)
+    config.set_use_pallas(True)
+    try:
+        got = weighted_cdf(jnp.asarray(v), jnp.asarray(bins), jnp.asarray(w),
+                           True)
+    finally:
+        config.set_use_pallas(None)
+        hk.histogram_pallas = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-10)

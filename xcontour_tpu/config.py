@@ -1,0 +1,34 @@
+"""Runtime configuration: kernel backend selection.
+
+Pallas kernels are used automatically when the default JAX backend is a TPU;
+tests and CPU runs use the pure-XLA paths (every Pallas kernel has an
+XLA twin validated against it).  Override with :func:`set_use_pallas` or the
+``XCONTOUR_USE_PALLAS`` environment variable (``1``/``0``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_OVERRIDE: Optional[bool] = None
+
+
+def set_use_pallas(value: Optional[bool]) -> None:
+    """Force Pallas kernels on/off; None restores auto-detection."""
+    global _OVERRIDE
+    _OVERRIDE = value
+
+
+def use_pallas() -> bool:
+    if _OVERRIDE is not None:
+        return _OVERRIDE
+    env = os.environ.get("XCONTOUR_USE_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

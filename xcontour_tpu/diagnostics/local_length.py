@@ -1,0 +1,109 @@
+"""Windowed (local) contour lengths.
+
+Re-design of the reference's rolling-window workload
+(tests/test_localLength.py:41-69): for each window of the grid, the length of
+the contour at that window's mean tracer value — a local stirring measure when
+normalized by the window's zonal line length.
+
+The reference materializes every (101 x 101) window through
+``rolling(...).construct`` and runs the serial skimage+numba path per window
+under dask.  Here the window means come from an integral-image (cumulative
+sum) in O(grid), and the per-window geometry reuses the traversal-free
+marching-squares cell kernel on dynamic slices — one fused XLA program,
+batched over window columns via vmap and window rows via lax.map (bounded
+memory).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import Rearth as _REARTH
+from .length import _level_total_length
+
+
+def rolling_mean(data: jax.Array, window: int, stride: int,
+                 min_count: int = 1):
+    """NaN-skipping mean over (window x window) tiles anchored at strided
+    top-left corners; windows with fewer than ``min_count`` valid points give
+    NaN (the reference's ``min_periods``, tests/test_localLength.py:41)."""
+    good = jnp.isfinite(data)
+    vals = jnp.where(good, data, 0.0)
+
+    def integral(a):
+        s = jnp.cumsum(jnp.cumsum(a, axis=-2), axis=-1)
+        return jnp.pad(s, [(0, 0)] * (a.ndim - 2) + [(1, 0), (1, 0)])
+
+    S = integral(vals)
+    C = integral(good.astype(data.dtype))
+    ny, nx = data.shape[-2:]
+    oy = jnp.arange(0, ny - window + 1, stride)
+    ox = jnp.arange(0, nx - window + 1, stride)
+
+    def box(I, y0, x0):
+        return (I[..., y0 + window, x0 + window] - I[..., y0 + window, x0]
+                - I[..., y0, x0 + window] + I[..., y0, x0])
+
+    yy, xx = jnp.meshgrid(oy, ox, indexing="ij")
+    s = box(S, yy, xx)
+    n = box(C, yy, xx)
+    mean = s / jnp.maximum(n, 1)
+    return jnp.where(n >= min_count, mean, jnp.nan), oy, ox
+
+
+@partial(jax.jit, static_argnames=("window", "stride", "latlon", "min_count"))
+def local_contour_lengths(data: jax.Array, ydef: jax.Array, xdef: jax.Array, *,
+                          window: int = 101, stride: int = 10,
+                          latlon: bool = True, min_count: int = 1,
+                          levels: jax.Array | None = None,
+                          Rearth: float = _REARTH):
+    """Per-window contour length at the window-mean level.
+
+    data : (Ny, Nx);  returns (lengths (Wy, Wx), window-center y, x coords).
+    ``levels`` overrides the rolling-mean levels (same (Wy, Wx) shape).
+    Empty windows/contours give NaN like the global kernel.
+    """
+    yc = jnp.deg2rad(ydef) if latlon else ydef
+    xc = jnp.deg2rad(xdef) if latlon else xdef
+    yc = yc.astype(data.dtype)
+    xc = xc.astype(data.dtype)
+
+    means, oy, ox = rolling_mean(data, window, stride, min_count)
+    if levels is None:
+        levels = means
+
+    # cell geometry precomputed once over the full grid
+    v00 = data[:-1, :-1]
+    v01 = data[:-1, 1:]
+    v10 = data[1:, :-1]
+    v11 = data[1:, 1:]
+    nan_cell = jnp.isnan(v00) | jnp.isnan(v01) | jnp.isnan(v10) | jnp.isnan(v11)
+    shape = v00.shape
+    y0g = jnp.broadcast_to(yc[:-1, None], shape)
+    y1g = jnp.broadcast_to(yc[1:, None], shape)
+    x0g = jnp.broadcast_to(xc[None, :-1], shape)
+    x1g = jnp.broadcast_to(xc[None, 1:], shape)
+
+    W = window - 1  # cells per window side
+
+    def one_window(y0, x0, level):
+        sl = lambda a: jax.lax.dynamic_slice(a, (y0, x0), (W, W))
+        total = _level_total_length(
+            level, sl(v00), sl(v01), sl(v10), sl(v11),
+            sl(y0g), sl(y1g), sl(x0g), sl(x1g), sl(nan_cell), latlon)
+        return jnp.where(jnp.isnan(level) | (total == 0.0), jnp.nan, total)
+
+    def one_row(iy):
+        return jax.vmap(lambda ix: one_window(oy[iy], ox[ix],
+                                              levels[iy, ix]))(
+            jnp.arange(ox.shape[0]))
+
+    lengths = jax.lax.map(one_row, jnp.arange(oy.shape[0]))
+    if latlon:
+        lengths = lengths * Rearth
+    cy = ydef[oy + window // 2] if window // 2 < ydef.shape[0] else ydef[oy]
+    cx = xdef[ox + window // 2] if window // 2 < xdef.shape[0] else xdef[ox]
+    return lengths, cy, cx

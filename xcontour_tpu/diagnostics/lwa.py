@@ -45,6 +45,25 @@ def _part_select(mask3, part: str, increase: bool):
     return jnp.where(keep, mask3, jnp.nan)
 
 
+def _pallas_ok(q) -> bool:
+    """Use the Pallas kernel when on TPU and a snapshot fits VMEM."""
+    from .. import config
+    Ny, Nx = q.shape[-2:]
+    return config.use_pallas() and (Ny * Nx * q.dtype.itemsize) <= 6 * 2 ** 20
+
+
+def _lwa_via_pallas(q, Q, W, increase: bool, part: str, variant2: bool):
+    from ..kernels.lwa_pallas import lwa_pallas
+    batch = q.shape[:-2]
+    Ny, Nx = q.shape[-2:]
+    qf = q.reshape((-1, Ny, Nx))
+    Qf = jnp.broadcast_to(Q, batch + (Ny,)).reshape((-1, Ny))
+    W = jnp.broadcast_to(W, (Ny, Nx))
+    out = lwa_pallas(qf, Qf, W, increase=increase, part=part,
+                     variant2=variant2)
+    return out.reshape(batch + (Ny, Nx))
+
+
 def _chunked_over_surfaces(fn, Ny: int, chunk: int):
     """Evaluate fn(j_indices_vector) for j = 0..Ny-1 in vmapped chunks via
     lax.map, limiting peak memory to chunk * field size."""
@@ -73,6 +92,8 @@ def local_wave_activity(q, Q, dA, ydef, *, increase: bool, part: str = "all",
     """
     part = part.lower()
     wei_dA = dA / jnp.nanmax(dA) * dA if weight is None else weight
+    if _pallas_ok(q):
+        return _lwa_via_pallas(q, Q, wei_dA, increase, part, False)
     coord_incre = ydef[-1] > ydef[0]
 
     def one(j):
@@ -96,6 +117,8 @@ def local_wave_activity2(q, Q, dA, ydef, *, increase: bool, part: str = "all",
     :func:`local_wave_activity`."""
     part = part.lower()
     wei_dA = dA / jnp.nanmax(dA) * dA if weight is None else weight
+    if _pallas_ok(q):
+        return _lwa_via_pallas(q, Q, wei_dA, increase, part, True)
     coord_incre = ydef[-1] > ydef[0]
 
     def one(j):

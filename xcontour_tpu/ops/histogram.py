@@ -66,6 +66,22 @@ def _cdf_single(values: jax.Array, bins: jax.Array, weights: jax.Array,
     return cdf_from_hist(hist, bincrease, lt)
 
 
+def _cdf_batched_pallas(vf: jax.Array, bf: jax.Array, wf: jax.Array,
+                        lt: bool) -> jax.Array:
+    """(B, G) x (B, N) -> (B, N) through the Pallas direct-CDF kernel."""
+    from ..kernels.hist_pallas import histogram_pallas
+
+    N = bf.shape[-1]
+    bincrease = bf[:, :1] < bf[:, -1:]
+    asc = jnp.where(bincrease, bf, bf[:, ::-1])
+    step = (asc[:, -1:] - asc[:, :1]) / (N - 1)
+    edges = jnp.concatenate([asc[:, :1] - step, asc], axis=1)
+    cdf = histogram_pallas(vf, edges, wf)
+    if not lt:
+        cdf = cdf[:, -1:] - cdf
+    return jnp.where(bincrease, cdf, cdf[:, ::-1])
+
+
 def weighted_cdf(values: jax.Array, bins: jax.Array, weights: jax.Array,
                  lt: bool) -> jax.Array:
     """Batched weighted-histogram CDF.
@@ -81,16 +97,29 @@ def weighted_cdf(values: jax.Array, bins: jax.Array, weights: jax.Array,
     Returns
     -------
     (..., N) with ``out[..., k]`` paired with ``bins[..., k]``.
+
+    On TPU (config.use_pallas) the CDF is computed by the Pallas
+    direct-comparison kernel; elsewhere by digitize + segment-sum.
     """
+    from .. import config
+
     batch_shape = values.shape[:-2]
     G = values.shape[-2] * values.shape[-1]
     v = jnp.reshape(values, batch_shape + (G,))
     w = jnp.reshape(jnp.broadcast_to(weights, values.shape), batch_shape + (G,))
+    N = bins.shape[-1]
+
+    if config.use_pallas():
+        b = jnp.broadcast_to(bins, batch_shape + (N,))
+        vf = jnp.reshape(v, (-1, G))
+        wf = jnp.reshape(w, (-1, G))
+        bf = jnp.reshape(b, (-1, N))
+        out = _cdf_batched_pallas(vf, bf, wf, lt)
+        return jnp.reshape(out, batch_shape + (N,))
 
     if bins.ndim == 1 and not batch_shape:
         return _cdf_single(v, bins, w, lt)
 
-    N = bins.shape[-1]
     b = jnp.broadcast_to(bins, batch_shape + (N,))
     vf = jnp.reshape(v, (-1, G))
     wf = jnp.reshape(w, (-1, G))
