@@ -4,12 +4,14 @@ Why a kernel: the LWA recurrence touches every (surface j, cell) pair —
 O(Ny^2 * Nx) work on O(Ny * Nx) data.  The XLA formulation (chunked vmap over
 j) re-streams the tracer from HBM for every surface: ~Ny * field_size of HBM
 traffic per snapshot (gigabytes per batch), hundreds of times the useful
-footprint.  Here one snapshot (256x512 f32 = 0.5 MB) is DMA'd into VMEM once
-per j-tile and the whole surface loop runs against on-chip data at VPU rate —
-the kernel is compute-bound instead of HBM-bound.
+footprint.  Here the snapshot block's index map is constant in the surface
+grid dimension, so Mosaic keeps the tracer and weight resident in VMEM across
+all Ny surfaces; each grid step evaluates a tile of 8 surfaces as masked
+multiply-reduces over on-chip data (pure VPU work), and the sorted profile is
+a scalar-prefetch operand read from SMEM.
 
-Semantics are identical to diagnostics/lwa.py (reference core.py:696-905):
-the index form of the surface mask is used — for strictly monotone equivalent
+Semantics are identical to diagnostics/lwa.py (reference core.py:696-905);
+the surface mask uses the index form — for strictly monotone equivalent
 coordinates,  (y >= y_j when increasing | y <= y_j when decreasing)  is
 exactly  (row index >= j)  — so no coordinate array is needed in-kernel.
 NaN tracer cells contribute zero (the reference's nan-skipping integrate).
@@ -23,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_TJ = 8  # surfaces per grid step (= f32 sublane tile)
 
 
 def _mask_value(qe, m, increase: bool):
@@ -44,70 +48,77 @@ def _part_zero(mask, part: str, increase: bool):
     return jnp.where(keep, mask, 0.0)
 
 
-def _kernel(q_ref, Q_ref, W_ref, out_ref, *, tile_j: int, increase: bool,
+def _kernel(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, *, increase: bool,
             part: str, variant2: bool, ny: int):
-    tj = pl.program_id(1)
-    q = q_ref[0]                      # (Ny, Nx) resident in VMEM
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    q = q_ref[0]                      # (Ny, Nx), VMEM-resident across t
     W = W_ref[...]
     iy = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], 1), 0)
     qnan = jnp.isnan(q)
 
     def body(jj, _):
-        j = tj * tile_j + jj
+        j = t * _TJ + jj
 
         @pl.when(j < ny)
         def _():
-            Qj = Q_ref[0, j]
+            m = iy >= j
             if variant2:
-                # qe = q(y_j, x) - Q(y): outer difference of a tracer row
-                # against the sorted profile (core.py:860)
-                qrow = q_ref[0, j, :]              # (Nx,)
-                Qcol = Q_ref[0, :]                 # (Ny,)
-                qe = qrow[None, :] - Qcol[:, None]
-                nan = jnp.isnan(qrow)[None, :] | jnp.isnan(Qcol)[:, None]
-                mask = _mask_value(qe, iy >= j, not increase)
+                # qe = q(y_j, x) - Q(y): outer difference of one tracer row
+                # against the sorted profile (core.py:860); Q arrives
+                # pre-transposed (Ny, 1) so no lane->sublane relayout occurs
+                qrow = q_ref[0, j, :]                   # (Nx,)
+                Qcol = Qt_ref[0]                        # (Ny, 1)
+                qe = qrow[None, :] - Qcol
+                nan = jnp.isnan(qrow)[None, :] | jnp.isnan(Qcol)
+                mask = _mask_value(qe, m, not increase)
             else:
+                Qj = Qs_ref[b, j]                       # SMEM scalar
                 qe = q - Qj
                 nan = qnan
-                mask = _mask_value(qe, iy >= j, increase)
+                mask = _mask_value(qe, m, increase)
             mask = _part_zero(mask, part, increase)
             term = jnp.where(nan, 0.0, qe * mask * W)
             out_ref[0, jj, :] = -jnp.sum(term, axis=0)
         return 0
 
-    jax.lax.fori_loop(0, tile_j, body, 0, unroll=False)
+    jax.lax.fori_loop(0, _TJ, body, 0, unroll=True)
 
 
 @partial(jax.jit, static_argnames=("increase", "part", "variant2", "tile_j",
                                    "interpret"))
 def lwa_pallas(q: jax.Array, Q: jax.Array, W: jax.Array, *, increase: bool,
-               part: str = "all", variant2: bool = False, tile_j: int = 64,
+               part: str = "all", variant2: bool = False, tile_j: int = 0,
                interpret: bool = False) -> jax.Array:
     """LWA on TPU via Pallas.
 
     q : (B, Ny, Nx) tracer;  Q : (B, Ny) sorted profile;  W : (Ny, Nx)
     composed weight (wei*dA or wei*dy).  Returns (B, Ny, Nx).
+    (``tile_j`` is accepted for API stability; the surface tile is fixed at
+    the f32 sublane width.)
     """
+    del tile_j
     B, Ny, Nx = q.shape
-    tile_j = min(tile_j, Ny)
-    ntj = pl.cdiv(Ny, tile_j)
-    grid = (B, ntj)
+    ntj = pl.cdiv(Ny, _TJ)
 
-    out = pl.pallas_call(
-        partial(_kernel, tile_j=tile_j, increase=increase, part=part.lower(),
-                variant2=variant2, ny=Ny),
-        out_shape=jax.ShapeDtypeStruct((B, ntj * tile_j, Nx), q.dtype),
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, ntj),
         in_specs=[
-            pl.BlockSpec((1, Ny, Nx), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Ny, Nx), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ny), lambda b, t: (b, 0),
+            pl.BlockSpec((1, Ny, 1), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ny, Nx), lambda b, t: (0, 0),
+            pl.BlockSpec((Ny, Nx), lambda b, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_j, Nx), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, _TJ, Nx), lambda b, t, *_: (b, t, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_kernel, increase=increase, part=part.lower(),
+                variant2=variant2, ny=Ny),
+        out_shape=jax.ShapeDtypeStruct((B, ntj * _TJ, Nx), q.dtype),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(q, Q, W)
+    )(Q, q, Q[..., None], W)
     return out[:, :Ny, :]
