@@ -1,0 +1,82 @@
+"""Reference-namespace facade + clength/fractal pipeline tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from xcontour_tpu import compat
+from xcontour_tpu.utils import synth
+from xcontour_tpu.utils.ncio import Dataset
+
+
+def test_add_latlon_metrics_facade(vorticity):
+    from xcontour_tpu.xcontour import add_latlon_metrics, Contour2D
+    lat, lon, vor = vorticity
+    ds = Dataset(variables=dict(latitude=lat, longitude=lon,
+                                absolute_vorticity=vor),
+                 dims=dict(latitude=("latitude",), longitude=("longitude",),
+                           absolute_vorticity=("latitude", "longitude")))
+    metrics, grid = add_latlon_metrics(ds, dtype=jnp.float64)
+    assert grid.periodic_x and grid.latlon
+    assert set(metrics) >= {"rA", "dxF", "dyF", "dxG", "dyG"}
+    np.testing.assert_allclose(metrics["rA"].sum(),
+                               4 * np.pi * 6371200.0 ** 2, rtol=1e-3)
+    # the facade class consumes the facade grid directly
+    an = Contour2D(grid, jnp.asarray(vor),
+                   dims={"X": "longitude", "Y": "latitude"},
+                   dimEq={"Y": "latitude"}, increase=True, lt=True,
+                   dtype=jnp.float64)
+    ctr = an.cal_contours(31)
+    want = compat.contours_linspace(vor, 31, True)
+    np.testing.assert_allclose(np.asarray(ctr), want, rtol=1e-12)
+
+
+def test_add_mitgcm_missing_metrics_facade():
+    from xcontour_tpu.xcontour import add_MITgcm_missing_metrics
+    v, dims = synth.synth_internalwave(nt=1, nz=20, nx=64)
+    metrics, grid = add_MITgcm_missing_metrics(v, dtype=jnp.float64)
+    np.testing.assert_allclose(metrics["yA"], v["yA"], rtol=1e-6)
+    assert grid.dim_names == ("Z", "XC")
+    # partial cells enter the plane areas
+    assert float(grid.total_area()) < float(np.sum(v["drF"][:, None] *
+                                                   v["dxF"]))
+
+
+def test_clength_pipeline_invariants(vorticity):
+    """The Cauchy-Schwarz chain L_eq >= L >= L_min (reference notebook 4
+    cell 0) holds on the bundled snapshot for interior contours."""
+    from xcontour_tpu import grid as G
+    from xcontour_tpu.pipeline import clength_pipeline
+    lat, lon, vor = vorticity
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    out = clength_pipeline(jnp.asarray(vor), grid, N=61, increase=True,
+                           lt=True)
+    L = np.asarray(out["lengths"])
+    Leq = np.sqrt(np.asarray(out["Leq2"]))
+    Lmin = np.asarray(out["Lmin"])
+    sl = slice(5, -5)
+    ok = np.isfinite(L[sl]) & np.isfinite(Leq[sl]) & np.isfinite(Lmin[sl])
+    assert ok.sum() > 30
+    assert np.all(L[sl][ok] >= Lmin[sl][ok] * 0.98)
+    assert np.all(Leq[sl][ok] >= L[sl][ok] * 0.98)
+    # contour means: <|grad q|> * <1/|grad q|> >= 1 (Cauchy-Schwarz)
+    prod = np.asarray(out["cmGrd"]) * np.asarray(out["cmInvGrd"])
+    fin = np.isfinite(prod[sl])
+    assert np.all(prod[sl][fin] >= 0.98)
+
+
+def test_fractal_pipeline(vorticity):
+    from xcontour_tpu import grid as G
+    from xcontour_tpu.pipeline import fractal_pipeline
+    lat, lon, vor = vorticity
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    out = fractal_pipeline(jnp.asarray(vor), grid, N=41,
+                           strides=(1, 2, 4, 8), increase=True, lt=True)
+    D = np.asarray(out["D"])
+    Dv = D[np.isfinite(D)]
+    assert Dv.size > 20
+    # stirred-but-smooth vorticity: dimension slightly above 1, below 2
+    assert 0.9 < np.median(Dv) < 1.8
+    assert out["bclens"].shape == out["lengths"].shape
+    Dbc = np.asarray(out["D_bc"])
+    assert np.isfinite(Dbc).sum() > 20

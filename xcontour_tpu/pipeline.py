@@ -19,9 +19,12 @@ import jax.numpy as jnp
 
 from .grid import Grid, latitude_lengths_at
 from . import core
-from .ops.stencil import squared_gradient
+from .ops.stencil import squared_gradient, gradient
 from .ops.interp import interp1d
 from .diagnostics import lwa as _lwa
+from .diagnostics import length as _length
+from .diagnostics.fractal import fractal_dimension
+from .utils.coarsen import coarsen
 
 
 @partial(jax.jit, static_argnames=("N", "increase", "lt", "hist", "lmin"))
@@ -190,4 +193,95 @@ def keff_lwa_pipeline(tracer: jax.Array, grid: Grid,
         pre_y = pre_y.astype(tracer.dtype)
         for k in ("Leq2", "nkeff", "Lmin"):
             out[k + "_at"] = core.interp_to_coords(pre_y, Yeq, out[k])
+    return out
+
+
+@partial(jax.jit, static_argnames=("N", "increase", "lt"))
+def clength_pipeline(tracer: jax.Array, grid: Grid,
+                     mask: Optional[jax.Array] = None, *, N: int = 121,
+                     increase: bool = True, lt: bool = True) -> dict:
+    """Contour-length workload (reference tests/test_clength.py:74-108):
+    perimeter lengths L, equivalent length L_eq, minimum length L_min, and
+    the Cauchy-Schwarz contour means of |grad q| and 1/|grad q|.
+
+    The nb4 cell-0 inequality chain L_eq >= L >= L_min is the physical
+    invariant consumers check.
+    """
+    ydef = grid.ydef.astype(tracer.dtype)
+    dA = grid.dA.astype(tracer.dtype)
+    if mask is None:
+        mask = grid.fluid_mask(tracer.dtype)
+    qy, qx = gradient(tracer, grid)
+    grdS = qx * qx + qy * qy
+    grdm = jnp.sqrt(grdS)
+
+    table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
+                                             increase=increase, lt=lt)
+    ctr = core.cal_contours(tracer, N, increase=increase)
+    intArea = core.cal_integral_within_contours_hist(tracer, ctr, dA, lt=lt)
+    intgrdS = core.cal_integral_within_contours_hist(tracer, ctr, dA, grdS,
+                                                     lt=lt)
+    Yeq = table.lookup_coordinates(intArea)
+
+    lengths = _length.contour_lengths(tracer, ctr, grid.ydef, grid.xdef,
+                                      latlon=grid.latlon)
+    lat_len = latitude_lengths_at(ydef)
+    frac = jnp.sum(mask, axis=-1) / mask.shape[-1]
+    Lmin = interp1d(Yeq, ydef, frac * lat_len, increasing=ydef[-1] > ydef[0])
+
+    cmGrd = core.cal_contour_mean_hist(tracer, ctr, dA, grdm, grdm,
+                                       intArea, lt=lt)
+    cmInvGrd = core.cal_contour_mean_hist(tracer, ctr, dA, 1.0 / grdm, grdm,
+                                          intArea, lt=lt)
+    dgrdSdA = core.cal_gradient_wrt_area(intgrdS, intArea)
+    dqdA = core.cal_gradient_wrt_area(ctr, intArea)
+    Leq2 = core.cal_sqared_equivalent_length(dgrdSdA, dqdA)
+    nkeff = core.cal_normalized_Keff(Leq2, Lmin, 1e5)
+    return dict(contour=ctr, intArea=intArea, Yeq=Yeq, lengths=lengths,
+                Lmin=Lmin, Leq2=Leq2, nkeff=nkeff, cmGrd=cmGrd,
+                cmInvGrd=cmInvGrd)
+
+
+def fractal_pipeline(tracer: jax.Array, grid: Grid, *, N: int = 121,
+                     strides=(1, 2, 4, 8, 16, 32), increase: bool = True,
+                     lt: bool = True, box_counting: bool = True) -> dict:
+    """Fractal-dimension workload (reference tests/test_fractal.py:52-115):
+    contour lengths on a ladder of grid coarsenings (and optionally
+    box-counting crossing lengths), log-log slope -> D per contour.
+
+    Rulers follow the reference: stride * cos(latEq) * dlon * R
+    (tests/test_fractal.py:105).
+    """
+    ydef = grid.ydef.astype(tracer.dtype)
+    dA = grid.dA.astype(tracer.dtype)
+    mask = grid.fluid_mask(tracer.dtype)
+
+    table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
+                                             increase=increase, lt=lt)
+    ctr = core.cal_contours(tracer, N, increase=increase)
+    intArea = core.cal_integral_within_contours_hist(tracer, ctr, dA, lt=lt)
+    Yeq = table.lookup_coordinates(intArea)
+
+    lengths = []
+    for s in strides:
+        ts = coarsen(tracer, s)
+        ys = coarsen(grid.ydef.astype(tracer.dtype)[None, :], 1)[0] if s == 1 \
+            else jnp.mean(grid.ydef.astype(tracer.dtype).reshape(-1, s), axis=1)
+        xs = grid.xdef.astype(tracer.dtype) if s == 1 \
+            else jnp.mean(grid.xdef.astype(tracer.dtype).reshape(-1, s), axis=1)
+        lengths.append(_length.contour_lengths(ts, ctr, ys, xs,
+                                               latlon=grid.latlon))
+    L = jnp.stack(lengths, axis=-1)                    # (..., N, S)
+
+    reso = grid.xdef[1] - grid.xdef[0]
+    rulers = (jnp.asarray(strides, tracer.dtype) *
+              jnp.cos(jnp.deg2rad(Yeq))[..., None] *
+              jnp.deg2rad(reso).astype(tracer.dtype) * 6371200.0)
+    D = fractal_dimension(L, rulers)
+
+    out = dict(contour=ctr, Yeq=Yeq, lengths=L, rulers=rulers, D=D)
+    if box_counting:
+        bc = _length.contour_crossing(tracer, ctr, dA, list(strides))
+        out["bclens"] = jnp.stack(bc, axis=-1)
+        out["D_bc"] = fractal_dimension(out["bclens"], rulers)
     return out

@@ -1,0 +1,132 @@
+"""Reference-compatible namespace.
+
+The reference's tests and notebooks import everything from
+``xcontour.xcontour`` (e.g. /root/reference/tests/test_Keff_atmos.py:12); this
+module provides the same symbols under the same names so a user of the
+reference can switch imports and find everything:
+
+    from xcontour_tpu.xcontour import (
+        Contour2D, Table, add_latlon_metrics, add_MITgcm_missing_metrics,
+        latitude_lengths_at, equivalent_latitudes,
+        contour_length, find_contour, contour_area)
+
+``add_latlon_metrics`` / ``add_MITgcm_missing_metrics`` operate on the plain
+dict-of-arrays datasets produced by ``utils.ncio.load_dataset`` (this
+framework has no xarray dependency) and return ``(metrics_dict, Grid)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .core import Contour2D, Table  # noqa: F401
+from .grid import (Grid, from_latlon, from_metrics, latitude_lengths_at,  # noqa: F401
+                   equivalent_latitudes, is_periodic_lon, _edges_from_centers)
+from .host.extract import find_contour, contour_length, contour_area  # noqa: F401
+from .utils.constants import Rearth as _REARTH
+from .utils.ncio import Dataset
+
+# reference dim-name autodetect lists (utils.py:34-39)
+dimXList = ["lon", "longitude", "LON", "LONGITUDE", "geolon", "GEOLON",
+            "xt_ocean", "XC"]
+dimYList = ["lat", "latitude", "LAT", "LATITUDE", "geolat", "GEOLAT",
+            "yt_ocean", "YC"]
+dimZList = ["lev", "level", "LEV", "LEVEL", "pressure", "PRESSURE",
+            "depth", "DEPTH", "Z"]
+
+
+def _detect(ds, dims: Optional[dict]):
+    names = set(ds.keys()) if hasattr(ds, "keys") else set(ds)
+    if dims is not None:
+        return dims.get("X"), dims.get("Y"), dims.get("Z")
+    lon = next((d for d in dimXList if d in names), None)
+    lat = next((d for d in dimYList if d in names), None)
+    lev = next((d for d in dimZList if d in names), None)
+    if lon is None or lat is None:
+        raise ValueError("unknown dimension names; expected one of "
+                         f"{dimXList + dimYList}")
+    return lon, lat, lev
+
+
+def add_latlon_metrics(dset, dims: Optional[dict] = None,
+                       boundary: Optional[dict] = None,
+                       Rearth: float = _REARTH,
+                       dtype=jnp.float32) -> Tuple[dict, Grid]:
+    """Infer spherical metrics from 1-D lat/lon coordinates (semantics of
+    reference utils.py:43-259): exact cell areas with pole clamping, staggered
+    x/y line elements, X-periodicity sniffing.
+
+    Returns (metrics, grid): ``metrics`` maps the reference's names (rA, dxF,
+    dyF, dxG, dyG, ...) to numpy arrays; ``grid`` is the :class:`Grid` the
+    analysis classes consume.  ``boundary`` is accepted for signature
+    compatibility (boundary handling lives in the stencil module here).
+    """
+    del boundary
+    lon_n, lat_n, _ = _detect(dset, dims)
+    lat = np.asarray(dset[lat_n], np.float64)
+    lon = np.asarray(dset[lon_n], np.float64)
+    grid = from_latlon(lat, lon, Rearth=Rearth, dim_names=(lat_n, lon_n),
+                       dtype=dtype)
+
+    latE = _edges_from_centers(lat)
+    lonE = _edges_from_centers(lon)
+    d2r = np.pi / 180.0
+    latEc = np.clip(latE, -90.0, 90.0)
+    dlam = np.diff(lonE)
+    dxG = np.abs(np.cos(latEc * d2r)[:, None] * dlam[None, :] * d2r * Rearth)
+    dxG = np.where(dxG < 1e-15, 0.0, dxG)
+    dyG = np.broadcast_to((np.diff(latE) * d2r * Rearth)[:, None],
+                          grid.shape).copy()
+    metrics = {
+        "rA": np.asarray(grid.dA), "dxF": np.asarray(grid.dxF),
+        "dyF": np.asarray(grid.dyF), "dxG": dxG[:-1, :], "dyG": dyG,
+        "dxC": np.asarray(grid.dxF), "dyC": np.asarray(grid.dyF),
+    }
+    return metrics, grid
+
+
+def add_MITgcm_missing_metrics(dset, periodic=None, boundary=None,
+                               partial_cell: bool = True,
+                               dtype=jnp.float32) -> Tuple[dict, Grid]:
+    """Complete missing MITgcm metrics (semantics of reference
+    utils.py:418-488): vertical partial-cell thicknesses drW/drS/drC from
+    hFac, and the X-Z plane area yA = drF * hFacC * dxF.
+
+    ``dset`` must carry Z, XC, drF, dxF (or dxC/dxG) and optionally hFacC /
+    hFacW / hFacS.  Returns (metrics, grid) with the grid on the (Z, XC)
+    plane for vertical-plane analyses (LAPE).
+    """
+    del periodic, boundary
+    get = lambda k: np.asarray(dset[k], np.float64) if k in dset else None
+    z = get("Z")
+    xc = get("XC")
+    drF = get("drF")
+    dxF = get("dxF")
+    if dxF is None:
+        dxF = get("dxC") if "dxC" in dset else get("dxG")
+    if dxF is not None and dxF.ndim == 1:
+        dxF = np.broadcast_to(dxF[None, :], (z.size, xc.size))
+    hFacC = get("hFacC")
+    if hFacC is None:
+        hFacC = get("maskC")
+    if hFacC is None:
+        hFacC = np.ones((z.size, xc.size))
+    hf = hFacC if partial_cell else np.ones_like(hFacC)
+
+    metrics = {"drC": hf * drF[:, None] if drF.ndim == 1 else hf * drF,
+               "yA": (drF[:, None] if drF.ndim == 1 else drF) * hf * dxF}
+    for name, key in (("drW", "hFacW"), ("drS", "hFacS")):
+        h = get(key)
+        if h is not None:
+            metrics[name] = (h * drF[:, None]) if drF.ndim == 1 else h * drF
+    if "yA" in dset:
+        metrics["yA"] = get("yA")
+
+    grid = from_metrics(z, xc, metrics["yA"], dxF=dxF,
+                        mask=(hFacC > 0).astype(np.float64),
+                        dim_names=("Z", "XC"), latlon=False, periodic_x=True,
+                        dtype=dtype)
+    return metrics, grid
