@@ -39,7 +39,9 @@ def cpu_baseline_sps(lat, lon, vor, n_snap=2, N=121):
     from xcontour_tpu import grid as G
     import jax.numpy as jnp
 
-    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    # f32 metrics are fine here: this function only anchors the *timing*
+    # baseline (the math runs in numpy float64 regardless)
+    grid = G.from_latlon(lat, lon, dtype=jnp.float32)
     dA = np.asarray(grid.dA)
     dxF = np.asarray(grid.dxF)
     mask = np.ones_like(vor)

@@ -52,3 +52,18 @@ def test_sharded_pipeline_matches_unsharded(mesh, rng):
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_stencil_matches_local(mesh, rng):
+    """Explicit ppermute halo exchange reproduces the single-device stencil."""
+    from xcontour_tpu.parallel.stencil import sharded_squared_gradient
+    from xcontour_tpu.ops.stencil import squared_gradient
+    Ny, Nx = 24, 64
+    lat = np.linspace(-80, 80, Ny)
+    lon = np.linspace(0, 360 - 360 / Nx, Nx)
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    q = rng.normal(size=(8, Ny, Nx))
+    tr = jax.device_put(jnp.asarray(q), shard_batch_spec(mesh, 3))
+    got = sharded_squared_gradient(tr, grid, mesh)
+    want = squared_gradient(jnp.asarray(q), grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)

@@ -22,10 +22,14 @@ from .core import (  # noqa: F401
     Contour2D, Table,
     cal_contours, cal_area_eqCoord_table, cal_area_eqCoord_table_hist,
     cal_integral_within_contours, cal_integral_within_contours_hist,
+    cal_integral_within_contours_exact,
     cal_gradient_wrt_area, cal_contour_weigh_mean, cal_contour_weigh_mean_hist,
     cal_contour_mean, cal_contour_mean_hist, cal_sqared_equivalent_length,
     cal_normalized_Keff, interp_to_coords, cal_contours_at,
 )
+from . import pipeline  # noqa: F401
+from . import runner  # noqa: F401
+from . import config  # noqa: F401
 from .diagnostics.lwa import (  # noqa: F401
     local_wave_activity, local_wave_activity2, lwa_masks_at,
 )

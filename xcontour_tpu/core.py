@@ -98,6 +98,18 @@ def cal_integral_within_contours_hist(tracer, contours, dA, integrand=None, *,
     return weighted_cdf(tracer, contours, wei, lt)
 
 
+@partial(jax.jit, static_argnames=("lt",))
+def cal_integral_within_contours_exact(tracer, contours, dA, integrand=None, *,
+                                       lt: bool = False):
+    """Exact sort-based path (ops/sort.py): the broadcast path's strict
+    conditional sums at O(G log G) — no binning quantization, no
+    (contour x grid) memory cliff.  A capability beyond the reference."""
+    from .ops.sort import exact_conditional_integral
+    wei = dA if integrand is None else integrand * dA
+    wei = jnp.broadcast_to(wei, tracer.shape)
+    return exact_conditional_integral(tracer, contours, wei, lt)
+
+
 # ---------------------------------------------------------------------------
 # monotonic lookup table — reference core.py:1103-1195
 # ---------------------------------------------------------------------------
@@ -340,6 +352,15 @@ class Contour2D:
     def cal_integral_within_contours_hist(self, contour, tracer=None,
                                           integrand=None):
         out = cal_integral_within_contours_hist(
+            self.tracer if tracer is None else tracer, contour, self.dA,
+            integrand, lt=self.lt)
+        self._maybe_check_mono(out)
+        return out
+
+    def cal_integral_within_contours_exact(self, contour, tracer=None,
+                                           integrand=None):
+        """Sort-based exact conditional integrals (beyond the reference)."""
+        out = cal_integral_within_contours_exact(
             self.tracer if tracer is None else tracer, contour, self.dA,
             integrand, lt=self.lt)
         self._maybe_check_mono(out)
