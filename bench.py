@@ -21,6 +21,10 @@ import os
 import sys
 import time
 
+# persistent compilation cache: the remote Mosaic compile service in this
+# image is slow cold, instant cached
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import numpy as np
 
 

@@ -256,6 +256,16 @@ def cal_normalized_Keff(Leq2, Lmin, mask: float = 1e5):
     return jnp.where(nkeff < mask, nkeff, jnp.nan)
 
 
+def get_extrema_extend(data, N: int):
+    """(min - step, max + step) with step = range/N — the endpoint-extension
+    helper (reference core.py:1381-1402; unused in the reference's main paths
+    but part of its surface)."""
+    vmin = jnp.nanmin(data)
+    vmax = jnp.nanmax(data)
+    step = (vmax - vmin) / N
+    return vmin - step, vmax + step
+
+
 # ---------------------------------------------------------------------------
 # contour-space -> coordinate-space interpolation — core.py:269-360, 1017-1100
 # ---------------------------------------------------------------------------

@@ -97,13 +97,14 @@ class Grid:
 def from_latlon(lat, lon, Rearth: float = _REARTH,
                 mask: Optional[np.ndarray] = None,
                 dim_names: Tuple[str, str] = ("latitude", "longitude"),
-                dtype=jnp.float32) -> Grid:
+                dtype=jnp.float32, exact_area: bool = True) -> Grid:
     """Spherical metrics from 1-D lat/lon center coordinates (degrees).
 
     Mirrors the math of the reference ``add_latlon_metrics``
     (utils.py:43-259): exact spherical cell areas with pole clamping, and dxF
     as the Y-average of the edge zonal elements with the cos(±90) threshold
-    (utils.py:641-645).
+    (utils.py:641-645).  ``exact_area=False`` selects the legacy rectangle
+    areas rA = dyF * dxF of ``add_latlon_metrics_old`` (utils.py:261-415).
     """
     lat = np.asarray(lat, np.float64)
     lon = np.asarray(lon, np.float64)
@@ -119,11 +120,6 @@ def from_latlon(lat, lon, Rearth: float = _REARTH,
         dlam = np.where(dlam < 0, dlam + 360.0, dlam)
         dlam = np.where(dlam > 360.0, dlam - 360.0, dlam)
 
-    # exact spherical areas: R^2 |sin(phi1) - sin(phi2)| dlambda  (utils.py:190)
-    sinphi = np.sin(latEc * d2r)
-    band = np.abs(np.diff(sinphi))  # (Ny,)
-    rA = (Rearth * Rearth) * band[:, None] * (dlam[None, :] * d2r)
-
     # zonal line elements at edges, pole-clamped (utils.py:638-645)
     dxG = np.cos(latEc * d2r)[:, None] * dlam[None, :] * d2r * Rearth
     dxG = np.abs(dxG)
@@ -131,6 +127,15 @@ def from_latlon(lat, lon, Rearth: float = _REARTH,
     dxF = 0.5 * (dxG[:-1, :] + dxG[1:, :])
 
     dyF = (np.diff(latE) * d2r * Rearth)[:, None] * np.ones_like(dlam)[None, :]
+
+    if exact_area:
+        # exact spherical areas: R^2 |sin(phi1)-sin(phi2)| dlambda (utils.py:190)
+        sinphi = np.sin(latEc * d2r)
+        band = np.abs(np.diff(sinphi))  # (Ny,)
+        rA = (Rearth * Rearth) * band[:, None] * (dlam[None, :] * d2r)
+    else:
+        # legacy rectangle areas rA = dyF * dxF (utils.py:361)
+        rA = dyF * dxF
 
     return Grid(
         ydef=jnp.asarray(lat, dtype), xdef=jnp.asarray(lon, dtype),

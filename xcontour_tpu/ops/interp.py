@@ -13,20 +13,25 @@ import jax
 import jax.numpy as jnp
 
 
-def _interp_single(x, xf, yf, inc):
+def _interp_single(x, xf, yf, inc, extrapolate):
     xf2 = jnp.where(inc, xf, xf[::-1])
     yf2 = jnp.where(inc, yf, yf[::-1])
-    return jnp.interp(x, xf2, yf2)
+    out = jnp.interp(x, xf2, yf2)
+    if extrapolate == "nan":
+        out = jnp.where((x < xf2[0]) | (x > xf2[-1]), jnp.nan, out)
+    return out
 
 
 def interp1d(x: jax.Array, xf: jax.Array, yf: jax.Array,
-             increasing=None) -> jax.Array:
+             increasing=None, extrapolate: str = "clamp") -> jax.Array:
     """Batched np.interp with direction handling.
 
     ``x``: (..., M) or (M,) query points; ``xf``/``yf``: (..., N) data points.
     ``increasing``: direction of ``xf``; None derives it per batch element, a
     bool/traced scalar applies one direction globally (the reference derives it
     from the first batch element — pass that in for exact parity).
+    ``extrapolate``: 'clamp' (np.interp endpoint clamping, the reference's
+    _interp1d behavior) or 'nan' (xarray-style NaN outside the data range).
     Batch dims of all arguments broadcast together.
     """
     # broadcast batch dims
@@ -43,5 +48,6 @@ def interp1d(x: jax.Array, xf: jax.Array, yf: jax.Array,
     else:
         inc = jnp.broadcast_to(jnp.asarray(increasing), (x2.shape[0],))
 
-    out = jax.vmap(_interp_single)(x2, xf2, yf2, inc)
+    out = jax.vmap(_interp_single, in_axes=(0, 0, 0, 0, None))(
+        x2, xf2, yf2, inc, extrapolate)
     return out.reshape(batch + (M,))
