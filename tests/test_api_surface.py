@@ -1,0 +1,120 @@
+"""Coverage for the remaining public API surface: contour means, Table
+inverse lookup, cal_contours_at, interp_to_dataset, weigh means."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from xcontour_tpu import compat, core
+from xcontour_tpu import grid as G
+
+
+@pytest.fixture(scope="module")
+def an(vorticity):
+    lat, lon, vor = vorticity
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    a = core.Contour2D(grid, jnp.asarray(vor), increase=True, lt=True,
+                       dtype=jnp.float64)
+    return lat, lon, vor, grid, a
+
+
+def test_contour_weigh_mean_paths(an, rng):
+    """Thickness-weighted mean: hist path == oracle composition; broadcast
+    path close on interior contours (reference core.py:491-552)."""
+    lat, lon, vor, grid, a = an
+    f = rng.uniform(0.5, 1.5, size=vor.shape)
+    ctr = a.cal_contours(41)
+    dA = np.asarray(grid.dA)
+
+    got_h = np.asarray(a.cal_contour_weigh_mean_hist(ctr, jnp.asarray(f)))
+    intA = compat.integral_within_contours_hist(vor, np.asarray(ctr), dA, f, True)
+    area = compat.integral_within_contours_hist(vor, np.asarray(ctr), dA, None, True)
+    want = compat.gradient_wrt_area(intA, area)
+    np.testing.assert_allclose(got_h, want, rtol=1e-9)
+
+    got_b = np.asarray(a.cal_contour_weigh_mean(ctr, jnp.asarray(f)))
+    np.testing.assert_allclose(got_b[2:-2], got_h[2:-2], rtol=1e-6)
+
+
+def test_contour_mean_is_weighted_ratio(an, rng):
+    """<f|grad q|>/<|grad q|> of a constant integrand is that constant."""
+    lat, lon, vor, grid, a = an
+    grdm = jnp.asarray(rng.uniform(0.5, 2.0, size=vor.shape))
+    ctr = a.cal_contours(31)
+    cm = np.asarray(a.cal_contour_mean_hist(ctr, jnp.ones_like(grdm), grdm))
+    fin = np.isfinite(cm)
+    np.testing.assert_allclose(cm[fin], 1.0, rtol=1e-6)
+
+
+def test_table_lookup_roundtrip(an):
+    """lookup_values is the inverse of lookup_coordinates (the reference's
+    lookup_values crashes on a typo, core.py:1190 — fixed here)."""
+    lat, lon, vor, grid, a = an
+    table = a.cal_area_eqCoord_table_hist(jnp.ones(grid.shape, jnp.float64))
+    coords = jnp.asarray(np.linspace(lat[5], lat[-5], 40))
+    values = table.lookup_values(coords)
+    back = table.lookup_coordinates(values)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(coords), atol=1e-6)
+
+
+def test_cal_contours_at(an):
+    """Contours at prescribed equivalent latitudes: looking their areas up
+    again lands near the prescribed coordinates (reference core.py:269-360).
+
+    The exact/broadcast paths round-trip; the hist path inherits the
+    reference's extremal-bins assumption (core.py:1208-1210) and is biased
+    for interior levels, so it is only exercised for shape/monotonicity.
+    """
+    lat, lon, vor, grid, a = an
+    table = a.cal_area_eqCoord_table_hist(jnp.ones(grid.shape, jnp.float64))
+    pre_y = np.linspace(-60, 60, 41)
+    for method in ("exact", "broadcast"):
+        q_at = np.asarray(a.cal_contours_at_exact(pre_y, table) if
+                          method == "exact" else
+                          a.cal_contours_at(pre_y, table))
+        assert q_at.shape == (41,)
+        assert np.all(np.diff(q_at) > 0)
+        area = a.cal_integral_within_contours_exact(jnp.asarray(q_at))
+        yeq = np.asarray(table.lookup_coordinates(area))
+        sl = slice(3, -3)
+        np.testing.assert_allclose(yeq[sl], pre_y[sl], atol=1.0,
+                                   err_msg=method)
+    q_h = np.asarray(a.cal_contours_at_hist(pre_y, table))
+    assert np.all(np.diff(q_h) > 0)
+
+
+def test_interp_to_dataset(an):
+    lat, lon, vor, grid, a = an
+    ctr = a.cal_contours(41)
+    area = a.cal_integral_within_contours_hist(ctr)
+    table = a.cal_area_eqCoord_table_hist(jnp.ones(grid.shape, jnp.float64))
+    yeq = table.lookup_coordinates(area)
+    ds = a.interp_to_dataset(np.linspace(-80, 80, 33), yeq,
+                             {"q": ctr, "area": area})
+    assert set(ds) == {"q", "area"}
+    assert np.asarray(ds["q"]).shape == (33,)
+    # interpolated area must be monotone in latitude
+    ar = np.asarray(ds["area"])
+    assert np.all(np.diff(ar) >= -1e-6 * ar.max()) or \
+        np.all(np.diff(ar) <= 1e-6 * ar.max())
+
+
+def test_interp_extrapolate_nan(rng):
+    from xcontour_tpu.ops.interp import interp1d
+    xf = jnp.asarray(np.linspace(0, 1, 11))
+    yf = xf * 2
+    x = jnp.asarray([-0.5, 0.5, 1.5])
+    clamp = np.asarray(interp1d(x, xf, yf))
+    np.testing.assert_allclose(clamp, [0.0, 1.0, 2.0], atol=1e-12)
+    nan = np.asarray(interp1d(x, xf, yf, extrapolate="nan"))
+    assert np.isnan(nan[0]) and np.isnan(nan[2])
+    np.testing.assert_allclose(nan[1], 1.0, atol=1e-12)
+
+
+def test_get_extrema_extend(rng):
+    d = jnp.asarray(rng.normal(size=(10, 10)))
+    lo, hi = core.get_extrema_extend(d, 5)
+    dn = np.asarray(d)
+    step = (dn.max() - dn.min()) / 5
+    np.testing.assert_allclose(float(lo), dn.min() - step, rtol=1e-6)
+    np.testing.assert_allclose(float(hi), dn.max() + step, rtol=1e-6)

@@ -280,15 +280,23 @@ def interp_to_coords(predef, eq_coords, var, increasing=None):
 
 
 def cal_contours_at(predef, table: Table, tracer, dA, *, increase: bool,
-                    lt: bool, hist: bool = True):
+                    lt: bool, method: str = "exact"):
     """Contour levels lying at prescribed equivalent coordinates
-    (core.py:269-360): rough contours -> enclosed area -> Y_eq -> interp back."""
+    (core.py:269-360): rough contours -> enclosed area -> Y_eq -> interp back.
+
+    method: 'exact' (sort-based, default), 'broadcast', or 'hist'.  Note the
+    hist path inherits the reference's assumption that bins span the tracer
+    extrema (core.py:1208-1210) — with interior prescribed coordinates it
+    systematically under-counts area (everything below the prepended edge is
+    excluded), exactly like the reference's ``cal_contours_at_hist``.  The
+    exact path has no such window and round-trips cleanly.
+    """
     N = predef.shape[-1]
     ctr = cal_contours(tracer, N, increase=increase)
-    if hist:
-        area = cal_integral_within_contours_hist(tracer, ctr, dA, lt=lt)
-    else:
-        area = cal_integral_within_contours(tracer, ctr, dA, lt=lt)
+    integral = {"exact": cal_integral_within_contours_exact,
+                "broadcast": cal_integral_within_contours,
+                "hist": cal_integral_within_contours_hist}[method]
+    area = integral(tracer, ctr, dA, lt=lt)
     dim_eq = table.lookup_coordinates(area)
     return interp_to_coords(predef, dim_eq, ctr)
 
@@ -447,12 +455,19 @@ class Contour2D:
     def cal_contours_at(self, predef, table: Table):
         return cal_contours_at(jnp.asarray(predef, self.dtype), table,
                                self.tracer, self.dA, increase=self.increase,
-                               lt=self.lt, hist=False)
+                               lt=self.lt, method="broadcast")
 
     def cal_contours_at_hist(self, predef, table: Table):
         return cal_contours_at(jnp.asarray(predef, self.dtype), table,
                                self.tracer, self.dA, increase=self.increase,
-                               lt=self.lt, hist=True)
+                               lt=self.lt, method="hist")
+
+    def cal_contours_at_exact(self, predef, table: Table):
+        """Windowing-free variant (beyond the reference): round-trips
+        cleanly for interior prescribed coordinates."""
+        return cal_contours_at(jnp.asarray(predef, self.dtype), table,
+                               self.tracer, self.dA, increase=self.increase,
+                               lt=self.lt, method="exact")
 
     def interp_to_coords(self, predef, eq_coords, var):
         return interp_to_coords(jnp.asarray(predef, self.dtype), eq_coords, var)
