@@ -97,3 +97,26 @@ def test_weighted_cdf_pallas_switch(rng):
         config.set_use_pallas(None)
         hk.histogram_pallas = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-10)
+
+
+def test_lwa_kernel_x_blocking(rng):
+    """Wide grids split into x panels with NaN padding; results match the
+    unblocked oracle exactly (the surface reduction is x-separable)."""
+    import importlib
+    # kernels/__init__ rebinds the attribute to the function; fetch the module
+    lk = importlib.import_module("xcontour_tpu.kernels.lwa_pallas")
+    B, Ny, Nx = 1, 16, 200   # forces pad with a small budget
+    ydef = np.linspace(-60, 60, Ny)
+    q = rng.normal(size=(B, Ny, Nx))
+    dA = rng.uniform(0.5, 2.0, size=(Ny, Nx))
+    Q = np.sort(rng.normal(size=(B, Ny)), axis=-1)
+    W = dA / dA.max() * dA
+    want = compat.local_wave_activity(q[0], Q[0], dA, ydef, True, "all")
+    orig = lk._VMEM_BUDGET
+    lk._VMEM_BUDGET = 16 * 128 * 8 * 4  # tiny: forces nxb=128 panels w/ pad
+    try:
+        got = lwa_pallas(jnp.asarray(q), jnp.asarray(Q), jnp.asarray(W),
+                         increase=True, part="all", interpret=True)
+    finally:
+        lk._VMEM_BUDGET = orig
+    np.testing.assert_allclose(np.asarray(got[0]), want, rtol=1e-9, atol=1e-9)

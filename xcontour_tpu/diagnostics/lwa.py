@@ -46,10 +46,11 @@ def _part_select(mask3, part: str, increase: bool):
 
 
 def _pallas_ok(q) -> bool:
-    """Use the Pallas kernel when on TPU and a snapshot fits VMEM."""
+    """Use the Pallas kernel when on TPU and a (Ny x 128) column panel fits
+    VMEM (the kernel blocks along X for wide grids)."""
     from .. import config
-    Ny, Nx = q.shape[-2:]
-    return config.use_pallas() and (Ny * Nx * q.dtype.itemsize) <= 6 * 2 ** 20
+    Ny = q.shape[-2]
+    return config.use_pallas() and (Ny * 128 * q.dtype.itemsize) <= 4 * 2 ** 20
 
 
 def _lwa_via_pallas(q, Q, W, increase: bool, part: str, variant2: bool):

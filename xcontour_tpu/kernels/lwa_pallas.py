@@ -51,7 +51,7 @@ def _part_zero(mask, part: str, increase: bool):
 def _kernel(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, *, increase: bool,
             part: str, variant2: bool, ny: int):
     b = pl.program_id(0)
-    t = pl.program_id(1)
+    t = pl.program_id(2)
     q = q_ref[0]                      # (Ny, Nx), VMEM-resident across t
     W = W_ref[...]
     iy = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], 1), 0)
@@ -85,6 +85,9 @@ def _kernel(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, *, increase: bool,
     jax.lax.fori_loop(0, _TJ, body, 0, unroll=True)
 
 
+_VMEM_BUDGET = 4 * 2 ** 20  # per-operand budget for the snapshot block
+
+
 @partial(jax.jit, static_argnames=("increase", "part", "variant2", "tile_j",
                                    "interpret"))
 def lwa_pallas(q: jax.Array, Q: jax.Array, W: jax.Array, *, increase: bool,
@@ -96,29 +99,50 @@ def lwa_pallas(q: jax.Array, Q: jax.Array, W: jax.Array, *, increase: bool,
     composed weight (wei*dA or wei*dy).  Returns (B, Ny, Nx).
     (``tile_j`` is accepted for API stability; the surface tile is fixed at
     the f32 sublane width.)
+
+    Grids whose (Ny, Nx) snapshot exceeds the VMEM budget are blocked along
+    X — valid because every surface reduction is x-separable (the mask
+    depends only on the row index) — with NaN x-padding that contributes
+    nothing.
     """
     del tile_j
     B, Ny, Nx = q.shape
     ntj = pl.cdiv(Ny, _TJ)
 
+    # choose an x block: whole row set if it fits, else 512-lane panels
+    if Ny * Nx * q.dtype.itemsize <= _VMEM_BUDGET:
+        nxb = Nx
+    else:
+        nxb = 512
+        while Ny * nxb * q.dtype.itemsize > _VMEM_BUDGET and nxb > 128:
+            nxb //= 2
+    pad_x = (-Nx) % nxb
+    if pad_x:
+        q = jnp.concatenate(
+            [q, jnp.full((B, Ny, pad_x), jnp.nan, q.dtype)], axis=-1)
+        W = jnp.concatenate(
+            [W, jnp.zeros((Ny, pad_x), W.dtype)], axis=-1)
+    Nxp = Nx + pad_x
+    n_xb = Nxp // nxb
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, ntj),
+        grid=(B, n_xb, ntj),          # surface index innermost: q stays in VMEM
         in_specs=[
-            pl.BlockSpec((1, Ny, Nx), lambda b, t, *_: (b, 0, 0),
+            pl.BlockSpec((1, Ny, nxb), lambda b, x, t, *_: (b, 0, x),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ny, 1), lambda b, t, *_: (b, 0, 0),
+            pl.BlockSpec((1, Ny, 1), lambda b, x, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ny, Nx), lambda b, t, *_: (0, 0),
+            pl.BlockSpec((Ny, nxb), lambda b, x, t, *_: (0, x),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TJ, Nx), lambda b, t, *_: (b, t, 0)),
+        out_specs=pl.BlockSpec((1, _TJ, nxb), lambda b, x, t, *_: (b, t, x)),
     )
     out = pl.pallas_call(
         partial(_kernel, increase=increase, part=part.lower(),
                 variant2=variant2, ny=Ny),
-        out_shape=jax.ShapeDtypeStruct((B, ntj * _TJ, Nx), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, ntj * _TJ, Nxp), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(Q, q, Q[..., None], W)
-    return out[:, :Ny, :]
+    return out[:, :Ny, :Nx]
