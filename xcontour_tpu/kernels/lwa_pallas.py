@@ -85,7 +85,11 @@ def _kernel(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, *, increase: bool,
     jax.lax.fori_loop(0, _TJ, body, 0, unroll=True)
 
 
-_VMEM_BUDGET = 4 * 2 ** 20  # per-operand budget for the snapshot block
+# Per-operand budget for the snapshot block.  The kernel keeps q, W, and a
+# few elementwise temporaries of the same shape live simultaneously, so this
+# must be a small fraction of the 16 MB VMEM (measured: 4 MB blocks OOM at
+# ~26 MB scoped usage on v5e).
+_VMEM_BUDGET = 3 * 2 ** 19  # 1.5 MB
 
 
 @partial(jax.jit, static_argnames=("increase", "part", "variant2", "tile_j",

@@ -88,6 +88,21 @@ def add_latlon_metrics(dset, dims: Optional[dict] = None,
     return metrics, grid
 
 
+def add_latlon_metrics_old(dset, dims: Optional[dict] = None,
+                           boundary: Optional[dict] = None,
+                           dtype=jnp.float32) -> Tuple[dict, Grid]:
+    """Legacy rectangle-area metrics rA = dyF * dxF (reference
+    utils.py:261-415)."""
+    lon_n, lat_n, _ = _detect(dset, dims)
+    lat = np.asarray(dset[lat_n], np.float64)
+    lon = np.asarray(dset[lon_n], np.float64)
+    grid = from_latlon(lat, lon, dim_names=(lat_n, lon_n), dtype=dtype,
+                       exact_area=False)
+    metrics = {"rA": np.asarray(grid.dA), "dxF": np.asarray(grid.dxF),
+               "dyF": np.asarray(grid.dyF)}
+    return metrics, grid
+
+
 def add_MITgcm_missing_metrics(dset, periodic=None, boundary=None,
                                partial_cell: bool = True,
                                dtype=jnp.float32) -> Tuple[dict, Grid]:
