@@ -80,3 +80,27 @@ def test_fractal_pipeline(vorticity):
     assert out["bclens"].shape == out["lengths"].shape
     Dbc = np.asarray(out["D_bc"])
     assert np.isfinite(Dbc).sum() > 20
+
+
+def test_add_latlon_metrics_full_staggered_set(vorticity):
+    """The full staggered metric set of the reference metrics builder
+    (utils.py:166-226): areas close over the sphere, staggered variants stay
+    within discretization distance of the centered ones."""
+    from xcontour_tpu.xcontour import add_latlon_metrics
+    lat, lon, vor = vorticity
+    ds = Dataset(variables=dict(latitude=lat, longitude=lon, level=np.array(
+        [300.0, 315.0, 330.0])),
+        dims=dict(latitude=("latitude",), longitude=("longitude",),
+                  level=("level",)))
+    metrics, grid = add_latlon_metrics(ds, dtype=jnp.float64)
+    for k in ("rA", "rAw", "rAs", "rAz", "dxG", "dxF", "dxC", "dxV",
+              "dyG", "dyF", "dyC", "dyU", "drF", "drG"):
+        assert k in metrics, k
+    sphere = 4 * np.pi * 6371200.0 ** 2
+    for k in ("rA", "rAw"):
+        assert abs(metrics[k].sum() - sphere) / sphere < 1e-3, k
+    # mid-latitude staggered areas agree with centered to ~ cell scale
+    # (near the poles the half-cell shift changes cos(lat) by tens of %)
+    r = metrics["rAs"][50:-50] / metrics["rA"][50:-50]
+    assert np.nanmax(np.abs(r - 1)) < 0.02
+    np.testing.assert_allclose(metrics["drF"], [15.0, 15.0, 15.0])

@@ -65,7 +65,7 @@ def add_latlon_metrics(dset, dims: Optional[dict] = None,
     compatibility (boundary handling lives in the stencil module here).
     """
     del boundary
-    lon_n, lat_n, _ = _detect(dset, dims)
+    lon_n, lat_n, lev_n = _detect(dset, dims)
     lat = np.asarray(dset[lat_n], np.float64)
     lon = np.asarray(dset[lon_n], np.float64)
     grid = from_latlon(lat, lon, Rearth=Rearth, dim_names=(lat_n, lon_n),
@@ -75,16 +75,51 @@ def add_latlon_metrics(dset, dims: Optional[dict] = None,
     lonE = _edges_from_centers(lon)
     d2r = np.pi / 180.0
     latEc = np.clip(latE, -90.0, 90.0)
-    dlam = np.diff(lonE)
-    dxG = np.abs(np.cos(latEc * d2r)[:, None] * dlam[None, :] * d2r * Rearth)
-    dxG = np.where(dxG < 1e-15, 0.0, dxG)
-    dyG = np.broadcast_to((np.diff(latE) * d2r * Rearth)[:, None],
+    dlam = np.diff(lonE)                      # cell widths (deg)
+    dlamC = np.diff(lonE)                     # uniform-lon assumption matches
+    dphiE = np.diff(latE)                     # cell heights (deg)
+
+    def zonal(lats_deg, dl):
+        dx = np.abs(np.cos(np.clip(lats_deg, -90, 90) * d2r)[:, None]
+                    * dl[None, :] * d2r * Rearth)
+        return np.where(dx < 1e-15, 0.0, dx)
+
+    # staggered line elements (reference utils.py:166-171): G = cell edges,
+    # F = cell centers, C = between centers, V/U = the remaining corners
+    dxG = zonal(latE, dlam)                   # (Ny+1, Nx) at lat edges
+    dxF = 0.5 * (dxG[:-1] + dxG[1:])
+    dxC = zonal(lat, dlamC)                   # at centers, center spacing
+    dxV = dxG[:-1, :]
+    dyG = np.broadcast_to((dphiE * d2r * Rearth)[:, None], grid.shape).copy()
+    dyC = np.broadcast_to((np.gradient(lat) * d2r * Rearth)[:, None],
                           grid.shape).copy()
+
+    # spherical face areas (reference utils.py:179-208): rA at centers, and
+    # the staggered variants built from the same band geometry
+    sin_band = np.abs(np.diff(np.sin(latEc * d2r)))          # (Ny,)
+    rA = (Rearth ** 2) * sin_band[:, None] * (dlam * d2r)[None, :]
+    rAw = (Rearth ** 2) * sin_band[:, None] * (dlamC * d2r)[None, :]
+    latCc = np.clip(lat, -90, 90)
+    band_s = np.abs(np.sin(latCc * d2r) - np.sin(
+        np.clip(latCc - np.gradient(lat), -90, 90) * d2r))
+    rAs = (Rearth ** 2) * band_s[:, None] * (dlam * d2r)[None, :]
+    rAz = (Rearth ** 2) * band_s[:, None] * (dlamC * d2r)[None, :]
+
     metrics = {
-        "rA": np.asarray(grid.dA), "dxF": np.asarray(grid.dxF),
-        "dyF": np.asarray(grid.dyF), "dxG": dxG[:-1, :], "dyG": dyG,
-        "dxC": np.asarray(grid.dxF), "dyC": np.asarray(grid.dyF),
+        "rA": rA, "rAw": rAw, "rAs": rAs, "rAz": rAz,
+        "dxG": dxG[:-1, :], "dxF": dxF, "dxC": dxC, "dxV": dxV,
+        "dyG": dyG, "dyF": np.asarray(grid.dyF), "dyC": dyC, "dyU": dyC,
     }
+
+    # vertical metrics when a level dimension is present (utils.py:210-221)
+    if lev_n is not None and lev_n in dset:
+        levC = np.asarray(dset[lev_n], np.float64)
+        tmp = np.diff(levC)
+        tmp = np.concatenate([[levC[0] - tmp[0]], levC])
+        delz = np.diff(tmp)
+        metrics["drF"] = delz
+        metrics["drG"] = np.concatenate([[delz[0] / 2], delz[1:-1],
+                                         [delz[-1] / 2]])
     return metrics, grid
 
 
