@@ -68,24 +68,29 @@ def _level_total_length(level, v00, v01, v10, v11, y0, y1, x0, x1,
         def seglen(p, q):
             return jnp.hypot(p[0] - q[0], p[1] - q[1])
 
-    zero = jnp.zeros_like(v00)
-    L = zero
     iso00 = (a00 != a01) & (a00 != a10) & (a01 == a11)
     iso01 = (a01 != a00) & (a01 != a11) & (a00 == a10)
     iso10 = (a10 != a00) & (a10 != a11) & (a00 == a01)
     iso11 = (a11 != a01) & (a11 != a10) & (a01 == a00)
-    L = jnp.where(iso00, seglen(top, lef), L)
-    L = jnp.where(iso01, seglen(top, rig), L)
-    L = jnp.where(iso10, seglen(bot, lef), L)
-    L = jnp.where(iso11, seglen(bot, rig), L)
     horiz = (a00 == a01) & (a10 == a11) & (a00 != a10)
     verti = (a00 == a10) & (a01 == a11) & (a00 != a01)
-    L = jnp.where(horiz, seglen(lef, rig), L)
-    L = jnp.where(verti, seglen(top, bot), L)
     sad_main = a00 & a11 & ~a01 & ~a10     # high corners on the main diagonal
     sad_anti = a01 & a10 & ~a00 & ~a11
-    L = jnp.where(sad_main, seglen(top, lef) + seglen(bot, rig), L)
-    L = jnp.where(sad_anti, seglen(top, rig) + seglen(bot, lef), L)
+
+    # select segment endpoints FIRST, then evaluate the (transcendental)
+    # length once per segment — 2 instead of 6 haversines per cell
+    def sel(c, p, q):
+        return (jnp.where(c, p[0], q[0]), jnp.where(c, p[1], q[1]))
+
+    p1 = sel(horiz, lef, sel(iso10 | iso11, bot, top))
+    q1 = sel(iso00 | iso10 | sad_main, lef,
+             sel(verti, bot, rig))
+    exists1 = iso00 | iso01 | iso10 | iso11 | horiz | verti | sad_main | sad_anti
+    L = jnp.where(exists1, seglen(p1, q1), 0.0)
+
+    saddle = sad_main | sad_anti
+    q2 = sel(sad_main, rig, lef)
+    L = L + jnp.where(saddle, seglen(bot, q2), 0.0)
 
     L = jnp.where(nan_cell, 0.0, L)
     return jnp.sum(L, axis=(-2, -1))
