@@ -120,3 +120,32 @@ def test_lwa_kernel_x_blocking(rng):
     finally:
         lk._VMEM_BUDGET = orig
     np.testing.assert_allclose(np.asarray(got[0]), want, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("latlon", [True, False])
+def test_length_kernel_matches_oracle(rng, latlon):
+    from xcontour_tpu.kernels.length_pallas import contour_lengths_pallas
+    B, Ny, Nx, N = 2, 20, 30, 9
+    if latlon:
+        y = np.linspace(-60, 60, Ny)
+        x = np.linspace(0, 348, Nx)
+    else:
+        y = np.linspace(0.0, 1900.0, Ny)
+        x = np.linspace(0.0, 2900.0, Nx)
+    d = np.cumsum(rng.normal(size=(B, Ny, Nx)), axis=1)
+    d[0, 4, 7] = np.nan
+    levels = np.stack([np.linspace(np.nanmin(d[b]), np.nanmax(d[b]), N)
+                       for b in range(B)])
+    yc = np.deg2rad(y) if latlon else y
+    xc = np.deg2rad(x) if latlon else x
+    got = np.asarray(contour_lengths_pallas(
+        jnp.asarray(d), jnp.asarray(levels), jnp.asarray(yc), jnp.asarray(xc),
+        latlon=latlon, interpret=True))
+    for b in range(B):
+        want = compat.contour_lengths(d[b], levels[b], y, x, latlon=latlon,
+                                      Rearth=1.0 if latlon else None) \
+            if latlon else compat.contour_lengths(d[b], levels[b], y, x,
+                                                  latlon=False)
+        want = np.where(np.isnan(want), 0.0, want)
+        np.testing.assert_allclose(got[b], want, rtol=1e-6, atol=1e-9,
+                                   err_msg=f"b={b} latlon={latlon}")

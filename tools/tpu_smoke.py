@@ -54,9 +54,18 @@ def main():
     Q = compat.interp_to_coords(lat, yeq, ctr, yeq[0] < yeq[-1])
     lwa = compat.local_wave_activity(tr32, Q, dA, lat, True, "all")
 
+    # contour lengths through the Pallas marching-squares kernel
+    from xcontour_tpu.diagnostics.length import contour_lengths
+    got_len = np.asarray(contour_lengths(
+        jnp.asarray(vor, jnp.float32)[None], jnp.asarray(ctr, jnp.float32),
+        grid.ydef, grid.xdef, latlon=True)[0], np.float64)
+    want_len = compat.contour_lengths(tr32, ctr, lat, lon, latlon=True)
+
     checks = {
         "intArea": (np.asarray(out["intArea"], np.float64), ia, 1e-6),
         "LWA": (np.asarray(out["lwa"], np.float64), lwa, 5e-6),
+        "lengths": (got_len, np.where(np.isnan(want_len), np.nan, want_len),
+                    1e-5),
     }
     ok = True
     for name, (got, want, tol) in checks.items():

@@ -126,6 +126,17 @@ def contour_lengths(data, contours, ydef, xdef, *, latlon: bool = False,
     ctr = jnp.broadcast_to(contours, batch_shape + contours.shape[-1:])
     N = ctr.shape[-1]
 
+    from .. import config
+    if config.use_pallas():
+        from ..kernels.length_pallas import contour_lengths_pallas
+        Ny, Nx = data.shape[-2:]
+        df = data.reshape((-1, Ny, Nx))
+        cf = ctr.reshape((-1, N))
+        totals = contour_lengths_pallas(df, cf, yc, xc, latlon=latlon)
+        totals = totals.reshape(batch_shape + (N,))
+        totals = jnp.where(totals == 0.0, jnp.nan, totals)
+        return totals * Rearth if latlon else totals
+
     def one_level(k):
         c = ctr[..., k]  # (...,) per-batch level
         cb = c[..., None, None] if batch_shape else c
