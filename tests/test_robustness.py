@@ -1,0 +1,72 @@
+"""Degenerate-input robustness: the engine must not crash or emit garbage
+silently on pathological fields (the reference raises deep inside xhistogram
+or produces NaN storms)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from xcontour_tpu import core
+from xcontour_tpu.ops.histogram import weighted_cdf
+from xcontour_tpu.diagnostics.length import contour_lengths
+
+
+def test_constant_field_contours():
+    """A constant tracer gives equal (degenerate) contour levels; integrals
+    must stay finite (the total or zero), not crash."""
+    f = jnp.ones((8, 16))
+    ctr = core.cal_contours(f, 5, increase=True)
+    assert np.allclose(np.asarray(ctr), 1.0)
+    dA = jnp.ones((8, 16))
+    out = np.asarray(core.cal_integral_within_contours(f, ctr, dA, lt=True))
+    np.testing.assert_allclose(out, 0.0)  # strict comparison: nothing below
+    out = np.asarray(core.cal_integral_within_contours_exact(f, ctr, dA,
+                                                             lt=False))
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_all_nan_field():
+    f = jnp.full((8, 16), jnp.nan)
+    dA = jnp.ones((8, 16))
+    bins = jnp.asarray(np.linspace(0, 1, 5))
+    out = np.asarray(weighted_cdf(f, bins, dA, True))
+    np.testing.assert_allclose(out, 0.0)
+    L = np.asarray(contour_lengths(f, bins, jnp.arange(8.0), jnp.arange(16.0),
+                                   latlon=False))
+    assert np.all(np.isnan(L))
+
+
+def test_levels_outside_range(rng):
+    """User-prescribed levels outside the tracer range: hist path windows
+    them out; exact path extends naturally."""
+    v = rng.normal(size=(10, 12))
+    dA = np.ones((10, 12))
+    bins = np.asarray([v.min() - 10.0, v.min(), v.max(), v.max() + 10.0])
+    hist = np.asarray(weighted_cdf(jnp.asarray(v), jnp.asarray(bins),
+                                   jnp.asarray(dA), True))
+    exact = np.asarray(core.cal_integral_within_contours_exact(
+        jnp.asarray(v), jnp.asarray(bins), jnp.asarray(dA), lt=True))
+    # exact: nothing below min-10 or min; everything below max+10
+    np.testing.assert_allclose(exact, [0.0, 0.0, 120.0 - 1, 120.0],
+                               atol=1.5)
+    assert np.all(np.isfinite(hist))
+
+
+def test_single_row_and_column_fields(rng):
+    """Degenerate 1-cell-wide planes go through without shape errors."""
+    v = rng.normal(size=(1, 30))
+    dA = np.ones((1, 30))
+    ctr = core.cal_contours(jnp.asarray(v), 7, increase=True)
+    out = core.cal_integral_within_contours_hist(jnp.asarray(v), ctr,
+                                                 jnp.asarray(dA), lt=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiny_contour_counts(rng):
+    v = rng.normal(size=(12, 12))
+    dA = np.ones((12, 12))
+    ctr = core.cal_contours(jnp.asarray(v), 2, increase=True)
+    assert ctr.shape == (2,)
+    out = np.asarray(core.cal_integral_within_contours_hist(
+        jnp.asarray(v), ctr, jnp.asarray(dA), lt=True))
+    np.testing.assert_allclose(out[-1], 144.0, rtol=1e-12)
