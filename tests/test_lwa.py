@@ -153,3 +153,18 @@ def test_lwa_batched_matches_loop(lwa_case):
         np.testing.assert_allclose(np.asarray(got["lwa"][b]),
                                    np.asarray(one["lwa"]), rtol=1e-10,
                                    atol=1e-10)
+
+
+def test_sorted_state_conserves_tracer_integral(lwa_case):
+    """Adiabatic rearrangement preserves the area integral of the tracer:
+    integral of the sorted profile Q(y) over zonal bands matches the integral
+    of q over the plane (to interpolation accuracy) — the conservation
+    property underlying the whole contour-coordinate construction."""
+    lat, lon, vor, grid, mask, state = lwa_case
+    dA = np.asarray(grid.dA)
+    total_q = np.nansum(vor * dA)
+    band = dA.sum(axis=1)                       # zonal band areas
+    total_Q = np.nansum(state["Q"] * band)
+    # global vorticity integrates to ~0, so normalize by the L1 integral
+    scale = np.nansum(np.abs(vor) * dA)
+    assert abs(total_Q - total_q) / scale < 2e-2
