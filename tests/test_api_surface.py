@@ -118,3 +118,17 @@ def test_get_extrema_extend(rng):
     step = (dn.max() - dn.min()) / 5
     np.testing.assert_allclose(float(lo), dn.min() - step, rtol=1e-6)
     np.testing.assert_allclose(float(hi), dn.max() + step, rtol=1e-6)
+
+
+def test_from_arrays_constructor(vorticity):
+    """The vendored-generation ctor (tracer + dA, reference core.py:20-21)."""
+    lat, lon, vor = vorticity
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    a = core.Contour2D.from_arrays(jnp.asarray(vor), grid.dA, lat, lon,
+                                   latlon=True, periodic_x=True,
+                                   increase=True, lt=True, dtype=jnp.float64)
+    ctr = a.cal_contours(21)
+    ia = np.asarray(a.cal_integral_within_contours_hist(ctr))
+    want = compat.integral_within_contours_hist(
+        vor, np.asarray(ctr), np.asarray(grid.dA), None, True)
+    np.testing.assert_allclose(ia, want, rtol=1e-10)

@@ -337,6 +337,24 @@ class Contour2D:
         self.arakawa = arakawa
         self.dtype = dtype
 
+    @classmethod
+    def from_arrays(cls, trcr, dA, ydef, xdef=None, *, latlon: bool = False,
+                    periodic_x: bool = False, increase: bool = True,
+                    lt: bool = False, check_mono: bool = False,
+                    dtype=jnp.float32) -> "Contour2D":
+        """The vendored-generation constructor (reference core.py:20-21):
+        tracer + explicit cell-area array, no grid object.  ``ydef`` supplies
+        the equivalent coordinate the xarray version read off the tracer's
+        coords; ``xdef`` defaults to an index coordinate."""
+        from .grid import from_metrics
+        dA = jnp.asarray(dA, dtype)
+        if xdef is None:
+            xdef = jnp.arange(dA.shape[-1], dtype=dtype)
+        grid = from_metrics(ydef, xdef, dA, latlon=latlon,
+                            periodic_x=periodic_x, dtype=dtype)
+        return cls(grid, trcr, increase=increase, lt=lt,
+                   check_mono=check_mono, dtype=dtype)
+
     # -- contour levels ---------------------------------------------------
     def cal_contours(self, levels: Union[int, Sequence, jax.Array] = 10):
         if isinstance(levels, int):
