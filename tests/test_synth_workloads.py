@@ -113,3 +113,47 @@ def test_synth_fixture_roundtrip(tmp_path):
     ds = load_dataset(path)
     assert ds.dims_of("THETA") == ("time", "Z", "XC")
     np.testing.assert_allclose(ds["THETA"], v["THETA"])
+
+
+def test_keff_xz_plane_decreasing_coordinate():
+    """Keff chain in the vertical plane (decreasing Z, increase=False,
+    lt=False — the internal-wave configuration of tests/test_clength.py:167-185)
+    with the numeric dxF Lmin."""
+    v, dims = synth.synth_internalwave(nt=1, nz=40, nx=160)
+    T = np.where(v["maskC"] > 0, np.asarray(v["THETA"][0], np.float64), np.nan)
+    grid = G.from_metrics(v["Z"], v["XC"], v["yA"], dxF=v["dxF"],
+                          mask=v["maskC"], dim_names=("Z", "XC"),
+                          latlon=False, periodic_x=True, dtype=jnp.float64)
+    grdS = compat.squared_gradient(T, v["Z"].astype(np.float64),
+                                   v["XC"].astype(np.float64), latlon=False)
+    grdS = np.where(np.isfinite(grdS), grdS, np.nan)
+    pre_z = np.linspace(v["Z"][-1], v["Z"][0], 30)
+
+    got = keff_pipeline(jnp.asarray(T), grid, jnp.asarray(grdS),
+                        jnp.asarray(np.asarray(v["maskC"], np.float64)),
+                        jnp.asarray(pre_z), N=81, increase=False, lt=False,
+                        hist=True, lmin="dxF")
+    want = compat.keff_snapshot(T, grdS, v["Z"].astype(np.float64),
+                                np.asarray(grid.dA), np.asarray(grid.dxF),
+                                np.asarray(v["maskC"], np.float64), pre_z,
+                                N=81, increase=False, lt=False, hist=True,
+                                lmin="dxF")
+    o, w = got["origin"], want["origin"]
+    np.testing.assert_allclose(np.asarray(o["intArea"]), w["intArea"],
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(o["Yeq"]), w["Yeq"], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(o["Lmin"]), w["Lmin"], rtol=1e-8)
+
+
+def test_stencil_reflect_bc():
+    from xcontour_tpu.ops.stencil import gradient
+    lat = np.linspace(-80, 80, 20)
+    lon = np.linspace(0, 342, 19)
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    q = jnp.asarray(np.random.default_rng(0).normal(size=(20, 19)))
+    qy_r, _ = gradient(q, grid, bc_y="reflect")
+    qy_e, _ = gradient(q, grid, bc_y="extend")
+    # reflect: zero wall-normal derivative at the first/last rows
+    np.testing.assert_allclose(np.asarray(qy_r[0]), 0.0)
+    np.testing.assert_allclose(np.asarray(qy_r[-1]), 0.0)
+    np.testing.assert_allclose(np.asarray(qy_r[1:-1]), np.asarray(qy_e[1:-1]))

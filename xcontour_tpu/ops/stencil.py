@@ -48,22 +48,35 @@ def _centered_x(q, periodic: bool):
     return jnp.concatenate([first, interior, last], axis=-1)
 
 
-def _centered_y(q):
+def _centered_y(q, bc: str = "extend"):
     interior = (q[..., 2:, :] - q[..., :-2, :]) * 0.5
-    first = q[..., 1:2, :] - q[..., 0:1, :]
-    last = q[..., -1:, :] - q[..., -2:-1, :]
+    if bc == "extend":
+        # replicate-pad then center == one-sided full difference at the walls
+        first = q[..., 1:2, :] - q[..., 0:1, :]
+        last = q[..., -1:, :] - q[..., -2:-1, :]
+    elif bc == "reflect":
+        # mirror-pad: the ghost row equals the first interior row, so the
+        # centered difference at the wall vanishes for symmetric fields
+        # (xinvert FiniteDiff's 'reflect' BC, tests/test_Keff_atmos.py:52)
+        first = (q[..., 1:2, :] - q[..., 1:2, :]) * 0.0
+        last = first
+    else:
+        raise ValueError(f"unknown y boundary condition {bc!r}")
     return jnp.concatenate([first, interior, last], axis=-2)
 
 
-def gradient(q: jax.Array, grid: Grid):
-    """(dq/dy, dq/dx) in physical units on the plane (..., Ny, Nx)."""
+def gradient(q: jax.Array, grid: Grid, bc_y: str = "extend"):
+    """(dq/dy, dq/dx) in physical units on the plane (..., Ny, Nx).
+
+    ``bc_y``: 'extend' (one-sided walls) or 'reflect' (zero normal gradient
+    at the walls, the pole-safe choice for scalar fields)."""
     dy, dx = _spacing(grid, q.dtype)
     qx = _centered_x(q, grid.periodic_x) / dx
-    qy = _centered_y(q) / dy[:, None]
+    qy = _centered_y(q, bc_y) / dy[:, None]
     return qy, qx
 
 
-def squared_gradient(q: jax.Array, grid: Grid) -> jax.Array:
+def squared_gradient(q: jax.Array, grid: Grid, bc_y: str = "extend") -> jax.Array:
     """|grad q|^2 (the Keff integrand), matching compat.squared_gradient."""
-    qy, qx = gradient(q, grid)
+    qy, qx = gradient(q, grid, bc_y)
     return qx * qx + qy * qy
