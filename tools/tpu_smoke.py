@@ -80,6 +80,21 @@ def main():
           f"{yeq_err:.2e} deg")
     ok &= yeq_err < 1e-3
 
+    # geometry pipelines compile + execute on hardware
+    from xcontour_tpu.pipeline import clength_pipeline, fractal_pipeline
+    cl = clength_pipeline(jnp.asarray(vor, jnp.float32), grid, N=61,
+                          increase=True, lt=True)
+    fr = fractal_pipeline(jnp.asarray(vor, jnp.float32), grid, N=31,
+                          strides=(1, 2, 4), increase=True, lt=True)
+    L = np.asarray(cl["lengths"])
+    D = np.asarray(fr["D"])
+    geom_ok = (np.isfinite(L).sum() > 40 and np.isfinite(D).sum() > 15
+               and 0.9 < np.nanmedian(D[np.isfinite(D)]) < 1.8)
+    print(f"  {'OK ' if geom_ok else 'FAIL'} geometry pipelines: "
+          f"{np.isfinite(L).sum()}/61 lengths finite, median D "
+          f"{np.nanmedian(D[np.isfinite(D)]):.2f}")
+    ok &= geom_ok
+
     # throughput
     B = 32
     rng = np.random.default_rng(0)
