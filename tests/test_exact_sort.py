@@ -7,7 +7,6 @@ bounds the histogram path's binning error.
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from xcontour_tpu import compat, core
 

@@ -4,7 +4,6 @@ or produces NaN storms)."""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from xcontour_tpu import core
 from xcontour_tpu.ops.histogram import weighted_cdf

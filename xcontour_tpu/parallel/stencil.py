@@ -13,7 +13,7 @@ blocks for multi-host meshes where the X axis should stay on ICI.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -24,10 +24,9 @@ import jax.numpy as jnp
 
 from .core import Contour2D, Table  # noqa: F401
 from .grid import (Grid, from_latlon, from_metrics, latitude_lengths_at,  # noqa: F401
-                   equivalent_latitudes, is_periodic_lon, _edges_from_centers)
+                   equivalent_latitudes, _edges_from_centers)
 from .host.extract import find_contour, contour_length, contour_area  # noqa: F401
 from .utils.constants import Rearth as _REARTH
-from .utils.ncio import Dataset
 
 # reference dim-name autodetect lists (utils.py:34-39)
 dimXList = ["lon", "longitude", "LON", "LONGITUDE", "geolon", "GEOLON",
