@@ -67,3 +67,23 @@ def test_sharded_stencil_matches_local(mesh, rng):
     got = sharded_squared_gradient(tr, grid, mesh)
     want = squared_gradient(jnp.asarray(q), grid)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+
+
+def test_sharded_lwa_matches_local(mesh, rng):
+    """X-sharded LWA is communication-free and exact: each device reduces its
+    own longitude slab (the weight normalization max(dA) must still be global,
+    so dA is passed whole and sliced by shard_map)."""
+    from xcontour_tpu.parallel.lwa import sharded_local_wave_activity
+    from xcontour_tpu.diagnostics.lwa import local_wave_activity
+    B, Ny, Nx = 8, 16, 32
+    ydef = np.linspace(-60, 60, Ny)
+    q = rng.normal(size=(B, Ny, Nx))
+    dA = rng.uniform(0.5, 2.0, size=(Ny, Nx))  # x-varying: exposes any
+    # per-shard (instead of global) max(dA) normalization bug
+    Q = np.sort(rng.normal(size=(B, Ny)), axis=-1)
+    tr = jax.device_put(jnp.asarray(q), shard_batch_spec(mesh, 3))
+    got = sharded_local_wave_activity(tr, jnp.asarray(Q), jnp.asarray(dA),
+                                      jnp.asarray(ydef), mesh, increase=True)
+    want = local_wave_activity(jnp.asarray(q), jnp.asarray(Q), jnp.asarray(dA),
+                               jnp.asarray(ydef), increase=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
