@@ -25,6 +25,7 @@ from .diagnostics import lwa as _lwa
 from .diagnostics import length as _length
 from .diagnostics.fractal import fractal_dimension
 from .utils.coarsen import coarsen
+from .utils.constants import Rearth as _REARTH
 
 
 @partial(jax.jit, static_argnames=("N", "increase", "lt", "hist", "lmin"))
@@ -276,7 +277,7 @@ def fractal_pipeline(tracer: jax.Array, grid: Grid, *, N: int = 121,
     reso = grid.xdef[1] - grid.xdef[0]
     rulers = (jnp.asarray(strides, tracer.dtype) *
               jnp.cos(jnp.deg2rad(Yeq))[..., None] *
-              jnp.deg2rad(reso).astype(tracer.dtype) * 6371200.0)
+              jnp.deg2rad(reso).astype(tracer.dtype) * _REARTH)
     D = fractal_dimension(L, rulers)
 
     out = dict(contour=ctr, Yeq=Yeq, lengths=L, rulers=rulers, D=D)
