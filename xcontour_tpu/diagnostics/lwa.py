@@ -46,11 +46,13 @@ def _part_select(mask3, part: str, increase: bool):
 
 
 def _pallas_ok(q) -> bool:
-    """Use the Pallas kernel when on TPU and a (Ny x 128) column panel fits
-    VMEM (the kernel blocks along X for wide grids)."""
+    """Use the Pallas kernel when on TPU and the narrowest (Ny x 128) column
+    panel fits the kernel's VMEM budget (it blocks along X for wide grids;
+    taller grids than that would need Y blocking — ROADMAP)."""
     from .. import config
+    from ..kernels.lwa_pallas import _VMEM_BUDGET
     Ny = q.shape[-2]
-    return config.use_pallas() and (Ny * 128 * q.dtype.itemsize) <= 4 * 2 ** 20
+    return config.use_pallas() and (Ny * 128 * q.dtype.itemsize) <= _VMEM_BUDGET
 
 
 def _lwa_via_pallas(q, Q, W, increase: bool, part: str, variant2: bool):
