@@ -149,3 +149,31 @@ def test_length_kernel_matches_oracle(rng, latlon):
         want = np.where(np.isnan(want), 0.0, want)
         np.testing.assert_allclose(got[b], want, rtol=1e-6, atol=1e-9,
                                    err_msg=f"b={b} latlon={latlon}")
+
+
+@pytest.mark.parametrize("variant2", [False, True])
+def test_lwa_kernel_y_blocking(rng, variant2):
+    """Tall-grid path: the y reduction accumulates across row blocks; with a
+    tiny budget and row-block override the multi-block path reproduces the
+    oracle exactly."""
+    import importlib
+    lk = importlib.import_module("xcontour_tpu.kernels.lwa_pallas")
+    B, Ny, Nx = 1, 48, 40
+    ydef = np.linspace(-60, 60, Ny)
+    q = np.cumsum(rng.normal(size=(B, Ny, Nx)), axis=1)
+    q[0, 5, 3] = np.nan
+    dA = rng.uniform(0.5, 2.0, size=(Ny, Nx))
+    Q = np.sort(rng.normal(size=(B, Ny)), axis=-1)
+    W = dA / dA.max() * dA
+    fn = compat.local_wave_activity2 if variant2 else compat.local_wave_activity
+    want = fn(q[0], Q[0], dA, ydef, True, "all")
+    orig_b, orig_yb = lk._VMEM_BUDGET, lk._YB
+    lk._VMEM_BUDGET = 1  # force the y-blocked path with minimum panels
+    lk._YB = 16          # 3 row blocks over Ny=48
+    try:
+        got = lwa_pallas(jnp.asarray(q), jnp.asarray(Q), jnp.asarray(W),
+                         increase=True, part="all", variant2=variant2,
+                         interpret=True)
+    finally:
+        lk._VMEM_BUDGET, lk._YB = orig_b, orig_yb
+    np.testing.assert_allclose(np.asarray(got[0]), want, rtol=1e-9, atol=1e-9)

@@ -90,6 +90,51 @@ def _kernel(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, *, increase: bool,
 # must be a small fraction of the 16 MB VMEM (measured: 4 MB blocks OOM at
 # ~26 MB scoped usage on v5e).
 _VMEM_BUDGET = 3 * 2 ** 19  # 1.5 MB
+_YB = 256  # reduction rows per block in the tall-grid (y-blocked) kernel
+
+
+def _kernel_yblocked(Qs_ref, qy_ref, qj_ref, Qt_ref, W_ref, out_ref, *,
+                     increase: bool, part: str, variant2: bool, ny: int):
+    """Tall-grid variant: the y reduction is split into _YB-row blocks that
+    accumulate into the output tile (the innermost grid dimension), so VMEM
+    holds only one (YB, nxb) panel regardless of Ny."""
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    yb = pl.program_id(3)
+    qy = qy_ref[0]                    # (YB, nxb) reduction rows
+    W = W_ref[...]
+    iy = (jax.lax.broadcasted_iota(jnp.int32, (qy.shape[0], 1), 0)
+          + yb * _YB)
+    qnan = jnp.isnan(qy)
+
+    @pl.when(yb == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    def body(jj, _):
+        j = t * _TJ + jj
+
+        @pl.when(j < ny)
+        def _():
+            valid_row = iy < ny       # y padding rows contribute nothing
+            m = iy >= j
+            if variant2:
+                qrow = qj_ref[0, jj, :]               # surface row (nxb,)
+                Qcol = Qt_ref[0]                      # (YB, 1) local block
+                qe = qrow[None, :] - Qcol
+                nan = jnp.isnan(qrow)[None, :] | jnp.isnan(Qcol)
+                mask = _mask_value(qe, m, not increase)
+            else:
+                Qj = Qs_ref[b, j]
+                qe = qy - Qj
+                nan = qnan
+                mask = _mask_value(qe, m, increase)
+            mask = _part_zero(mask, part, increase)
+            term = jnp.where(nan | ~valid_row, 0.0, qe * mask * W)
+            out_ref[0, jj, :] += -jnp.sum(term, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, _TJ, body, 0, unroll=True)
 
 
 @partial(jax.jit, static_argnames=("increase", "part", "variant2", "tile_j",
@@ -112,6 +157,10 @@ def lwa_pallas(q: jax.Array, Q: jax.Array, W: jax.Array, *, increase: bool,
     del tile_j
     B, Ny, Nx = q.shape
     ntj = pl.cdiv(Ny, _TJ)
+
+    if Ny * 128 * q.dtype.itemsize > _VMEM_BUDGET:
+        return _lwa_pallas_yblocked(q, Q, W, increase=increase, part=part,
+                                    variant2=variant2, interpret=interpret)
 
     # choose an x block: whole row set if it fits, else 512-lane panels
     if Ny * Nx * q.dtype.itemsize <= _VMEM_BUDGET:
@@ -149,4 +198,61 @@ def lwa_pallas(q: jax.Array, Q: jax.Array, W: jax.Array, *, increase: bool,
         grid_spec=grid_spec,
         interpret=interpret,
     )(Q, q, Q[..., None], W)
+    return out[:, :Ny, :Nx]
+
+
+def _lwa_pallas_yblocked(q, Q, W, *, increase: bool, part: str,
+                         variant2: bool, interpret: bool):
+    """Tall-grid path: block the y reduction (see _kernel_yblocked)."""
+    B, Ny, Nx = q.shape
+    nxb = 512
+    while _YB * nxb * q.dtype.itemsize > _VMEM_BUDGET and nxb > 128:
+        nxb //= 2
+    pad_x = (-Nx) % nxb
+    pad_y = (-Ny) % max(_YB, _TJ)
+    if pad_x:
+        q = jnp.concatenate(
+            [q, jnp.full((B, Ny, pad_x), jnp.nan, q.dtype)], axis=-1)
+        W = jnp.concatenate([W, jnp.zeros((Ny, pad_x), W.dtype)], axis=-1)
+    if pad_y:
+        q = jnp.concatenate(
+            [q, jnp.full((B, pad_y, q.shape[-1]), jnp.nan, q.dtype)], axis=1)
+        W = jnp.concatenate(
+            [W, jnp.zeros((pad_y, W.shape[-1]), W.dtype)], axis=0)
+        Q = jnp.concatenate(
+            [Q, jnp.zeros((B, pad_y), Q.dtype)], axis=1)
+    Nyp = Ny + pad_y
+    Nxp = Nx + pad_x
+    ntj = Nyp // _TJ
+    nyb = Nyp // _YB if Nyp % _YB == 0 else -(-Nyp // _YB)
+    # pad y further so _YB divides
+    extra = nyb * _YB - Nyp
+    if extra:
+        q = jnp.concatenate(
+            [q, jnp.full((B, extra, Nxp), jnp.nan, q.dtype)], axis=1)
+        W = jnp.concatenate([W, jnp.zeros((extra, Nxp), W.dtype)], axis=0)
+        Q = jnp.concatenate([Q, jnp.zeros((B, extra), Q.dtype)], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Nxp // nxb, ntj, nyb),  # yb innermost: out tile accumulates
+        in_specs=[
+            pl.BlockSpec((1, _YB, nxb), lambda b, x, t, y, *_: (b, y, x),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TJ, nxb), lambda b, x, t, y, *_: (b, t, x),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _YB, 1), lambda b, x, t, y, *_: (b, y, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_YB, nxb), lambda b, x, t, y, *_: (y, x),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TJ, nxb), lambda b, x, t, y, *_: (b, t, x)),
+    )
+    out = pl.pallas_call(
+        partial(_kernel_yblocked, increase=increase, part=part.lower(),
+                variant2=variant2, ny=Ny),
+        out_shape=jax.ShapeDtypeStruct((B, ntj * _TJ, Nxp), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(Q, q, q, Q[..., None], W)
     return out[:, :Ny, :Nx]
