@@ -157,3 +157,26 @@ def test_stencil_reflect_bc():
     np.testing.assert_allclose(np.asarray(qy_r[0]), 0.0)
     np.testing.assert_allclose(np.asarray(qy_r[-1]), 0.0)
     np.testing.assert_allclose(np.asarray(qy_r[1:-1]), np.asarray(qy_e[1:-1]))
+
+
+def test_netcdf3_roundtrip(tmp_path):
+    """Classic netCDF-3 output (the reference drivers' to_netcdf format)
+    reads back through the same loader, with attributes."""
+    from xcontour_tpu.utils.ncio import save_dataset_nc3, load_dataset
+    rng = np.random.default_rng(0)
+    lat = np.linspace(-80, 80, 9).astype(np.float32)
+    lon = np.linspace(0, 315, 8).astype(np.float32)
+    lwa = rng.normal(size=(9, 8)).astype(np.float32)
+    path = str(tmp_path / "out.nc")
+    save_dataset_nc3(path, dict(latitude=lat, longitude=lon, LWA=lwa),
+                     dims=dict(latitude=("latitude",),
+                               longitude=("longitude",),
+                               LWA=("latitude", "longitude")),
+                     coords=dict(latitude=lat, longitude=lon),
+                     attrs={"LWA": {"units": "m*s-1"}})
+    ds = load_dataset(path)
+    np.testing.assert_allclose(ds["LWA"], lwa)
+    assert ds.dims_of("LWA") == ("latitude", "longitude")
+    assert ds.attrs["LWA"][b"units" if isinstance(
+        list(ds.attrs["LWA"].keys())[0], bytes) else "units"] in (
+        b"m*s-1", "m*s-1")

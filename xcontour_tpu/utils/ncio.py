@@ -114,3 +114,38 @@ def save_dataset(path: str, variables: Dict[str, np.ndarray], dims: Dict[str, Tu
                 if dname in coords:
                     d.dims[axis].attach_scale(f[dname])
                     d.dims[axis].label = dname
+
+
+def save_dataset_nc3(path: str, variables: Dict[str, np.ndarray],
+                     dims: Dict[str, Tuple[str, ...]],
+                     coords: Dict[str, np.ndarray] | None = None,
+                     attrs: Dict[str, dict] | None = None) -> None:
+    """Write a classic netCDF-3 file (via scipy) — the format the reference's
+    drivers emit with ``to_netcdf`` (tests/LWA.py:99-101).  ``attrs`` maps
+    variable names to attribute dicts (units, long_name, ...)."""
+    from scipy.io import netcdf_file
+
+    coords = coords or {}
+    attrs = attrs or {}
+    with netcdf_file(path, "w") as f:
+        for cname, cvals in coords.items():
+            cvals = np.asarray(cvals)
+            f.createDimension(cname, cvals.shape[0])
+        for cname, cvals in coords.items():
+            cvals = np.asarray(cvals)
+            v = f.createVariable(cname, cvals.dtype.str[1:], (cname,))
+            v[:] = cvals
+            for k, val in attrs.get(cname, {}).items():
+                setattr(v, k, val)
+        for vname, vals in variables.items():
+            if vname in coords:
+                continue
+            vals = np.asarray(vals)
+            vdims = dims.get(vname, ())
+            for ax, dname in enumerate(vdims):
+                if dname not in f.dimensions:
+                    f.createDimension(dname, vals.shape[ax])
+            v = f.createVariable(vname, vals.dtype.str[1:], vdims)
+            v[:] = vals
+            for k, val in attrs.get(vname, {}).items():
+                setattr(v, k, val)
