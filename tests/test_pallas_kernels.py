@@ -177,3 +177,23 @@ def test_lwa_kernel_y_blocking(rng, variant2):
     finally:
         lk._VMEM_BUDGET, lk._YB = orig_b, orig_yb
     np.testing.assert_allclose(np.asarray(got[0]), want, rtol=1e-9, atol=1e-9)
+
+
+def test_multi_channel_cdf_matches_single(rng):
+    from xcontour_tpu.kernels.hist_pallas import (histogram_pallas_multi,
+                                                  histogram_pallas)
+    B, G, N = 2, 500, 11
+    v = rng.normal(size=(B, G))
+    v[0, 3] = np.nan
+    w = rng.uniform(0.5, 2.0, size=(B, 3, G))
+    w[1, 2, 5] = np.nan
+    edges = np.stack([np.linspace(np.nanmin(v[b]) - 0.5, np.nanmax(v[b]),
+                                  N + 1) for b in range(B)])
+    got = np.asarray(histogram_pallas_multi(
+        jnp.asarray(v), jnp.asarray(edges), jnp.asarray(w), interpret=True))
+    for c in range(3):
+        want = np.asarray(histogram_pallas(
+            jnp.asarray(v), jnp.asarray(edges), jnp.asarray(w[:, c]),
+            interpret=True))
+        np.testing.assert_allclose(got[:, c], want, rtol=1e-12,
+                                   err_msg=f"channel {c}")

@@ -82,6 +82,46 @@ def _cdf_batched_pallas(vf: jax.Array, bf: jax.Array, wf: jax.Array,
     return jnp.where(bincrease, cdf, cdf[:, ::-1])
 
 
+def weighted_cdf_multi(values: jax.Array, bins: jax.Array, weights_list,
+                       lt: bool):
+    """Several weighted CDFs over the SAME values and bins in one pass.
+
+    The Keff chain needs the area CDF and the |grad q|^2 CDF of the same
+    tracer/levels — on TPU the Pallas kernel digitizes once and reduces every
+    channel against the shared per-level mask.  Elsewhere it simply loops.
+
+    weights_list : sequence of arrays broadcastable to ``values``.
+    Returns a list of (..., N) arrays in the same order.
+    """
+    from .. import config
+
+    C = len(weights_list)
+    if not (config.use_pallas() and C <= 8):
+        return [weighted_cdf(values, bins, w, lt) for w in weights_list]
+
+    from ..kernels.hist_pallas import histogram_pallas_multi
+
+    batch_shape = values.shape[:-2]
+    G = values.shape[-2] * values.shape[-1]
+    N = bins.shape[-1]
+    vf = jnp.reshape(values, batch_shape + (G,)).reshape((-1, G))
+    wf = jnp.stack([
+        jnp.reshape(jnp.broadcast_to(w, values.shape),
+                    batch_shape + (G,)).reshape((-1, G))
+        for w in weights_list], axis=1)                       # (B, C, G)
+    bf = jnp.reshape(jnp.broadcast_to(bins, batch_shape + (N,)), (-1, N))
+
+    bincrease = bf[:, :1] < bf[:, -1:]
+    asc = jnp.where(bincrease, bf, bf[:, ::-1])
+    step = (asc[:, -1:] - asc[:, :1]) / (N - 1)
+    edges = jnp.concatenate([asc[:, :1] - step, asc], axis=1)
+    cdf = histogram_pallas_multi(vf, edges, wf)               # (B, C, N)
+    if not lt:
+        cdf = cdf[:, :, -1:] - cdf
+    cdf = jnp.where(bincrease[:, None, :], cdf, cdf[:, :, ::-1])
+    return [jnp.reshape(cdf[:, c], batch_shape + (N,)) for c in range(C)]
+
+
 def weighted_cdf(values: jax.Array, bins: jax.Array, weights: jax.Array,
                  lt: bool) -> jax.Array:
     """Batched weighted-histogram CDF.

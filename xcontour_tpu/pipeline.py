@@ -163,9 +163,9 @@ def keff_lwa_pipeline(tracer: jax.Array, grid: Grid,
     table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
                                              increase=increase, lt=lt)
     ctr = core.cal_contours(tracer, N, increase=increase)
-    intArea = core.cal_integral_within_contours_hist(tracer, ctr, dA, lt=lt)
-    intgrdS = core.cal_integral_within_contours_hist(tracer, ctr, dA, grdS,
-                                                     lt=lt)
+    # area and |grad q|^2 integrals share one digitize pass on TPU
+    from .ops.histogram import weighted_cdf_multi
+    intArea, intgrdS = weighted_cdf_multi(tracer, ctr, [dA, grdS * dA], lt)
     Yeq = table.lookup_coordinates(intArea)
 
     if lmin == "analytic":
