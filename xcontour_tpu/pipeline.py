@@ -53,18 +53,19 @@ def keff_pipeline(tracer: jax.Array, grid: Grid, grdS: Optional[jax.Array] = Non
     if grdS is None:
         grdS = squared_gradient(tracer, grid)
 
+    ctr = core.cal_contours(tracer, N, increase=increase)
     if hist:
         table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
                                                  increase=increase, lt=lt)
-        area = core.cal_integral_within_contours_hist
+        # both conditional integrals share one digitize pass on TPU
+        from .ops.histogram import weighted_cdf_multi
+        intArea, intgrdS = weighted_cdf_multi(tracer, ctr, [dA, grdS * dA], lt)
     else:
         table = core.cal_area_eqCoord_table(mask, ydef, dA,
                                             increase=increase, lt=lt)
-        area = core.cal_integral_within_contours
-
-    ctr = core.cal_contours(tracer, N, increase=increase)
-    intArea = area(tracer, ctr, dA, lt=lt)
-    intgrdS = area(tracer, ctr, dA, grdS, lt=lt)
+        intArea = core.cal_integral_within_contours(tracer, ctr, dA, lt=lt)
+        intgrdS = core.cal_integral_within_contours(tracer, ctr, dA, grdS,
+                                                    lt=lt)
     Yeq = table.lookup_coordinates(intArea)
 
     if lmin == "analytic":
