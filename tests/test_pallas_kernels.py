@@ -197,3 +197,26 @@ def test_multi_channel_cdf_matches_single(rng):
             interpret=True))
         np.testing.assert_allclose(got[:, c], want, rtol=1e-12,
                                    err_msg=f"channel {c}")
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("bc_y", ["extend", "reflect"])
+def test_stencil_kernel_matches_xla(rng, periodic, bc_y):
+    from xcontour_tpu.kernels.stencil_pallas import squared_gradient_pallas
+    from xcontour_tpu.ops.stencil import gradient, _spacing
+    from xcontour_tpu import grid as G
+    Ny, Nx = 24, 32
+    lat = np.linspace(-70, 70, Ny)
+    lon = np.linspace(0, 360 - 360 / Nx, Nx) if periodic else \
+        np.linspace(0, 180, Nx)
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    assert grid.periodic_x == periodic
+    q = rng.normal(size=(2, Ny, Nx))
+    dy, dx = _spacing(grid, jnp.float64)
+    got = np.asarray(squared_gradient_pallas(
+        jnp.asarray(q), jnp.broadcast_to(dx, (Ny, Nx)),
+        jnp.asarray(np.asarray(dy)[:, None]), periodic_x=periodic, bc_y=bc_y,
+        interpret=True))
+    qy, qx = gradient(jnp.asarray(q), grid, bc_y=bc_y)
+    want = np.asarray(qx * qx + qy * qy)
+    np.testing.assert_allclose(got, want, rtol=1e-12)

@@ -77,6 +77,18 @@ def gradient(q: jax.Array, grid: Grid, bc_y: str = "extend"):
 
 
 def squared_gradient(q: jax.Array, grid: Grid, bc_y: str = "extend") -> jax.Array:
-    """|grad q|^2 (the Keff integrand), matching compat.squared_gradient."""
+    """|grad q|^2 (the Keff integrand), matching compat.squared_gradient.
+
+    On TPU (VMEM-sized snapshots) a Pallas roll-stencil kernel computes it
+    in one pass; XLA otherwise."""
+    from ..kernels.stencil_pallas import pallas_ok, squared_gradient_pallas
+    if pallas_ok(q):
+        dy, dx = _spacing(grid, q.dtype)
+        batch = q.shape[:-2]
+        Ny, Nx = q.shape[-2:]
+        out = squared_gradient_pallas(
+            q.reshape((-1, Ny, Nx)), jnp.broadcast_to(dx, (Ny, Nx)),
+            dy[:, None], periodic_x=grid.periodic_x, bc_y=bc_y)
+        return out.reshape(batch + (Ny, Nx))
     qy, qx = gradient(q, grid, bc_y)
     return qx * qx + qy * qy
