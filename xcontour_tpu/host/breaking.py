@@ -51,10 +51,8 @@ def rescale_contours(contours: List[np.ndarray], lat: np.ndarray,
     lon = np.asarray(lon, np.float64)
     out = []
     for contour in contours:
-        iy = np.clip(np.searchsorted(
-            *_midpoints(lat), contour[:, 1]), 0, lat.size - 1)
-        ix = np.clip(np.searchsorted(
-            *_midpoints(lon), contour[:, 0]), 0, lon.size - 1)
+        iy = _snap_index(lat, contour[:, 1])
+        ix = _snap_index(lon, contour[:, 0])
         pts = np.c_[lon[ix], lat[iy]]
         keep = np.ones(len(pts), bool)
         seen = set()
@@ -67,11 +65,12 @@ def rescale_contours(contours: List[np.ndarray], lat: np.ndarray,
     return out
 
 
-def _midpoints(coord):
-    """(midpoints, ) helper for snapped searchsorted on a monotonic coord."""
+def _snap_index(coord: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Nearest-grid-index of each value on an increasing coordinate."""
     if coord[0] > coord[-1]:
         raise ValueError("coordinate must be increasing for snapping")
-    return (0.5 * (coord[:-1] + coord[1:]),)
+    mid = 0.5 * (coord[:-1] + coord[1:])
+    return np.clip(np.searchsorted(mid, vals), 0, coord.size - 1)
 
 
 def group_contours(contours: List[np.ndarray], y_overlap: float = 1.0,
