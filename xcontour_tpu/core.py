@@ -328,6 +328,11 @@ class Contour2D:
                     not set(grid.dim_names).issuperset(names):
                 raise ValueError(
                     f"dims {dims} do not match grid dims {grid.dim_names}")
+        if arakawa not in ("A", "C"):
+            # the reference stores this flag without using it in the math
+            # (core.py:60); here unsupported grid letters fail loudly
+            raise ValueError(f"unsupported arakawa grid {arakawa!r}; "
+                             "expected 'A' or 'C'")
         self.grid = grid
         self.tracer = jnp.asarray(trcr, dtype)
         self.dA = grid.dA.astype(dtype)

@@ -74,6 +74,10 @@ class Grid:
         default=("y", "x"), metadata=dict(static=True))
     latlon: bool = dataclasses.field(default=False, metadata=dict(static=True))
     periodic_x: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Y-wall boundary condition for finite-difference stencils on this grid
+    # ('extend' or 'reflect'); selected by the metric builders' ``boundary``
+    # kwarg (reference utils.py:96-116) and consumed by ops.stencil.
+    bc_y: str = dataclasses.field(default="extend", metadata=dict(static=True))
 
     # ---- derived helpers -------------------------------------------------
     @property
@@ -97,7 +101,8 @@ class Grid:
 def from_latlon(lat, lon, Rearth: float = _REARTH,
                 mask: Optional[np.ndarray] = None,
                 dim_names: Tuple[str, str] = ("latitude", "longitude"),
-                dtype=jnp.float32, exact_area: bool = True) -> Grid:
+                dtype=jnp.float32, exact_area: bool = True,
+                bc_y: str = "extend") -> Grid:
     """Spherical metrics from 1-D lat/lon center coordinates (degrees).
 
     Mirrors the math of the reference ``add_latlon_metrics``
@@ -142,7 +147,7 @@ def from_latlon(lat, lon, Rearth: float = _REARTH,
         dA=jnp.asarray(rA, dtype), dxF=jnp.asarray(dxF, dtype),
         dyF=jnp.asarray(dyF, dtype),
         mask=None if mask is None else jnp.asarray(mask, dtype),
-        dim_names=dim_names, latlon=True, periodic_x=periodic)
+        dim_names=dim_names, latlon=True, periodic_x=periodic, bc_y=bc_y)
 
 
 def from_cartesian(y, x, mask: Optional[np.ndarray] = None,

@@ -41,6 +41,9 @@ def _kernel(q_ref, dx_ref, dy_ref, out_ref, *, periodic_x: bool, bc_y: str):
     if bc_y == "extend":
         qy = jnp.where(iy == 0, dn - q, qy)
         qy = jnp.where(iy == Ny - 1, q - up, qy)
+    elif bc_y == "fill":  # zero ghost rows
+        qy = jnp.where(iy == 0, dn * 0.5, qy)
+        qy = jnp.where(iy == Ny - 1, -up * 0.5, qy)
     else:  # reflect: zero wall-normal derivative
         qy = jnp.where((iy == 0) | (iy == Ny - 1), 0.0, qy)
 

@@ -60,27 +60,36 @@ def _centered_y(q, bc: str = "extend"):
         # (xinvert FiniteDiff's 'reflect' BC, tests/test_Keff_atmos.py:52)
         first = (q[..., 1:2, :] - q[..., 1:2, :]) * 0.0
         last = first
+    elif bc == "fill":
+        # zero-pad (xgcm 'fill'): the ghost row is 0
+        first = q[..., 1:2, :] * 0.5
+        last = -q[..., -2:-1, :] * 0.5
     else:
         raise ValueError(f"unknown y boundary condition {bc!r}")
     return jnp.concatenate([first, interior, last], axis=-2)
 
 
-def gradient(q: jax.Array, grid: Grid, bc_y: str = "extend"):
+def gradient(q: jax.Array, grid: Grid, bc_y: str | None = None):
     """(dq/dy, dq/dx) in physical units on the plane (..., Ny, Nx).
 
     ``bc_y``: 'extend' (one-sided walls) or 'reflect' (zero normal gradient
-    at the walls, the pole-safe choice for scalar fields)."""
+    at the walls, the pole-safe choice for scalar fields); None selects the
+    grid's ``bc_y`` (wired from the metric builders' ``boundary`` kwarg)."""
+    if bc_y is None:
+        bc_y = grid.bc_y
     dy, dx = _spacing(grid, q.dtype)
     qx = _centered_x(q, grid.periodic_x) / dx
     qy = _centered_y(q, bc_y) / dy[:, None]
     return qy, qx
 
 
-def squared_gradient(q: jax.Array, grid: Grid, bc_y: str = "extend") -> jax.Array:
+def squared_gradient(q: jax.Array, grid: Grid, bc_y: str | None = None) -> jax.Array:
     """|grad q|^2 (the Keff integrand), matching compat.squared_gradient.
 
     On TPU (VMEM-sized snapshots) a Pallas roll-stencil kernel computes it
     in one pass; XLA otherwise."""
+    if bc_y is None:
+        bc_y = grid.bc_y
     from ..kernels.stencil_pallas import pallas_ok, squared_gradient_pallas
     if pallas_ok(q):
         dy, dx = _spacing(grid, q.dtype)

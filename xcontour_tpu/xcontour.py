@@ -26,6 +26,8 @@ from .core import Contour2D, Table  # noqa: F401
 from .grid import (Grid, from_latlon, from_metrics, latitude_lengths_at,  # noqa: F401
                    equivalent_latitudes, _edges_from_centers)
 from .host.extract import find_contour, contour_length, contour_area  # noqa: F401
+from .metrics import (build_latlon_metrics, complete_mitgcm_metrics,  # noqa: F401
+                      interp_cgrid, validate_boundary)
 from .utils.constants import Rearth as _REARTH
 
 # reference dim-name autodetect lists (utils.py:34-39)
@@ -59,56 +61,21 @@ def add_latlon_metrics(dset, dims: Optional[dict] = None,
     x/y line elements, X-periodicity sniffing.
 
     Returns (metrics, grid): ``metrics`` maps the reference's names (rA, dxF,
-    dyF, dxG, dyG, ...) to numpy arrays; ``grid`` is the :class:`Grid` the
-    analysis classes consume.  ``boundary`` is accepted for signature
-    compatibility (boundary handling lives in the stencil module here).
+    dyF, dxG, dyG, ...) to numpy arrays, built by the exact staggered
+    construction of :func:`xcontour_tpu.metrics.build_latlon_metrics`
+    (reference utils.py:118-208); ``grid`` is the :class:`Grid` the analysis
+    classes consume.  ``boundary`` ({'X'|'Y'|'Z': 'extend'|'reflect'|'fill'},
+    reference utils.py:96-116) is validated and its Y entry selects the wall
+    BC of the gradient stencils run on this grid.
     """
-    del boundary
+    bcs = validate_boundary(boundary)
     lon_n, lat_n, lev_n = _detect(dset, dims)
     lat = np.asarray(dset[lat_n], np.float64)
     lon = np.asarray(dset[lon_n], np.float64)
     grid = from_latlon(lat, lon, Rearth=Rearth, dim_names=(lat_n, lon_n),
-                       dtype=dtype)
-
-    latE = _edges_from_centers(lat)
-    lonE = _edges_from_centers(lon)
-    d2r = np.pi / 180.0
-    latEc = np.clip(latE, -90.0, 90.0)
-    dlam = np.diff(lonE)                      # cell widths (deg)
-    dlamC = np.diff(lonE)                     # uniform-lon assumption matches
-    dphiE = np.diff(latE)                     # cell heights (deg)
-
-    def zonal(lats_deg, dl):
-        dx = np.abs(np.cos(np.clip(lats_deg, -90, 90) * d2r)[:, None]
-                    * dl[None, :] * d2r * Rearth)
-        return np.where(dx < 1e-15, 0.0, dx)
-
-    # staggered line elements (reference utils.py:166-171): G = cell edges,
-    # F = cell centers, C = between centers, V/U = the remaining corners
-    dxG = zonal(latE, dlam)                   # (Ny+1, Nx) at lat edges
-    dxF = 0.5 * (dxG[:-1] + dxG[1:])
-    dxC = zonal(lat, dlamC)                   # at centers, center spacing
-    dxV = dxG[:-1, :]
-    dyG = np.broadcast_to((dphiE * d2r * Rearth)[:, None], grid.shape).copy()
-    dyC = np.broadcast_to((np.gradient(lat) * d2r * Rearth)[:, None],
-                          grid.shape).copy()
-
-    # spherical face areas (reference utils.py:179-208): rA at centers, and
-    # the staggered variants built from the same band geometry
-    sin_band = np.abs(np.diff(np.sin(latEc * d2r)))          # (Ny,)
-    rA = (Rearth ** 2) * sin_band[:, None] * (dlam * d2r)[None, :]
-    rAw = (Rearth ** 2) * sin_band[:, None] * (dlamC * d2r)[None, :]
-    latCc = np.clip(lat, -90, 90)
-    band_s = np.abs(np.sin(latCc * d2r) - np.sin(
-        np.clip(latCc - np.gradient(lat), -90, 90) * d2r))
-    rAs = (Rearth ** 2) * band_s[:, None] * (dlam * d2r)[None, :]
-    rAz = (Rearth ** 2) * band_s[:, None] * (dlamC * d2r)[None, :]
-
-    metrics = {
-        "rA": rA, "rAw": rAw, "rAs": rAs, "rAz": rAz,
-        "dxG": dxG[:-1, :], "dxF": dxF, "dxC": dxC, "dxV": dxV,
-        "dyG": dyG, "dyF": np.asarray(grid.dyF), "dyC": dyC, "dyU": dyC,
-    }
+                       dtype=dtype, bc_y=bcs["Y"])
+    metrics = build_latlon_metrics(lat, lon, periodic_x=grid.periodic_x,
+                                   boundary=boundary, Rearth=Rearth)
 
     # vertical metrics when a level dimension is present (utils.py:210-221)
     if lev_n is not None and lev_n in dset:
@@ -137,23 +104,60 @@ def add_latlon_metrics_old(dset, dims: Optional[dict] = None,
     return metrics, grid
 
 
-def add_MITgcm_missing_metrics(dset, periodic=None, boundary=None,
+def add_MITgcm_missing_metrics(dset, periodic="X", boundary=None,
                                partial_cell: bool = True,
                                dtype=jnp.float32) -> Tuple[dict, Grid]:
-    """Complete missing MITgcm metrics (semantics of reference
-    utils.py:418-488): vertical partial-cell thicknesses drW/drS/drC from
-    hFac, and the X-Z plane area yA = drF * hFacC * dxF.
+    """Complete missing MITgcm metrics (reference utils.py:418-488):
+    partial-cell thicknesses drW/drS/drC from hFac, the interp-derived
+    staggered distances dxF/dyF/dxV/dyU, corner cells hFacZ/maskZ, and the
+    X-Z plane area yA = drF * hFacC * dxF — each only when not already in
+    ``dset`` (see :func:`xcontour_tpu.metrics.complete_mitgcm_metrics`).
 
-    ``dset`` must carry Z, XC, drF, dxF (or dxC/dxG) and optionally hFacC /
-    hFacW / hFacS.  Returns (metrics, grid) with the grid on the (Z, XC)
-    plane for vertical-plane analyses (LAPE).
+    ``periodic`` names the periodic axes ('X', 'XY', None); ``boundary``
+    selects the non-periodic ghost-cell rule for the interpolations.
+
+    Returns (metrics, grid): ``metrics`` holds the derived fields; ``grid``
+    is on the (Z, XC) vertical plane (for LAPE-style analyses) when ``dset``
+    has Z+XC, with dA = yA and partial cells applied.
     """
-    del periodic, boundary
     get = lambda k: np.asarray(dset[k], np.float64) if k in dset else None
+    derived = complete_mitgcm_metrics(dset, periodic=periodic,
+                                      boundary=boundary,
+                                      partial_cell=partial_cell)
+    metrics = dict(derived)
+
     z = get("Z")
     xc = get("XC")
+    per_x = periodic is not None and "X" in periodic
+    if z is None:
+        # horizontal (YC, XC) C-grid: the reference's ocean-Keff layout
+        # (tests/test_Keff_ocean.py); plane metrics come from rA/dxF/dyF
+        yc = get("YC")
+        if yc is None or xc is None:
+            raise ValueError("dset must carry Z+XC or YC+XC coordinates")
+        rA = get("rA")
+        if rA is None:
+            raise ValueError("horizontal MITgcm dset must carry rA")
+        dxF = get("dxF")
+        if dxF is None:
+            dxF = metrics.get("dxF")
+        dyF = get("dyF")
+        if dyF is None:
+            dyF = metrics.get("dyF")
+        maskC = get("maskC")
+        if maskC is None:
+            h = get("hFacC")
+            maskC = None if h is None else (h > 0).astype(np.float64)
+        if maskC is not None and maskC.ndim > 2:
+            maskC = maskC[0]  # surface level masks the analysis plane
+        grid = from_metrics(yc, xc, rA, dxF=dxF, dyF=dyF, mask=maskC,
+                            dim_names=("YC", "XC"), latlon=True,
+                            periodic_x=per_x, dtype=dtype)
+        return metrics, grid
     drF = get("drF")
     dxF = get("dxF")
+    if dxF is None:
+        dxF = metrics.get("dxF")
     if dxF is None:
         dxF = get("dxC") if "dxC" in dset else get("dxG")
     if dxF is not None and dxF.ndim == 1:
@@ -165,17 +169,17 @@ def add_MITgcm_missing_metrics(dset, periodic=None, boundary=None,
         hFacC = np.ones((z.size, xc.size))
     hf = hFacC if partial_cell else np.ones_like(hFacC)
 
-    metrics = {"drC": hf * drF[:, None] if drF.ndim == 1 else hf * drF,
-               "yA": (drF[:, None] if drF.ndim == 1 else drF) * hf * dxF}
-    for name, key in (("drW", "hFacW"), ("drS", "hFacS")):
-        h = get(key)
-        if h is not None:
-            metrics[name] = (h * drF[:, None]) if drF.ndim == 1 else h * drF
-    if "yA" in dset:
-        metrics["yA"] = get("yA")
+    if "drC" not in metrics:  # hFacC was absent from dset; derive from mask
+        metrics["drC"] = hf * (drF[:, None] if drF.ndim == 1 else drF)
+    yA = get("yA")
+    if yA is None:
+        yA = metrics.get("yA")
+    if yA is None:
+        yA = (drF[:, None] if drF.ndim == 1 else drF) * hf * dxF
+    metrics["yA"] = yA
 
-    grid = from_metrics(z, xc, metrics["yA"], dxF=dxF,
+    grid = from_metrics(z, xc, yA, dxF=dxF,
                         mask=(hFacC > 0).astype(np.float64),
-                        dim_names=("Z", "XC"), latlon=False, periodic_x=True,
-                        dtype=dtype)
+                        dim_names=("Z", "XC"), latlon=False,
+                        periodic_x=per_x, dtype=dtype)
     return metrics, grid
