@@ -40,9 +40,12 @@ FLAGS = [(True, True), (True, False), (False, True), (False, False)]
 def _nan_allclose(a, b, rtol, name="", atol=1e-9):
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
-    fin = np.isfinite(a) & np.isfinite(b)
-    # finiteness patterns must agree except at a handful of edge contours
-    assert np.mean(np.isfinite(a) != np.isfinite(b)) < 0.02, name
+    # finiteness patterns must agree element-for-element (measured: they do,
+    # on all four flag combos — NaNs appear at the same degenerate contours
+    # in both paths)
+    mism = np.isfinite(a) != np.isfinite(b)
+    assert not mism.any(), f"{name}: finiteness differs at {np.where(mism)}"
+    fin = np.isfinite(a)
     np.testing.assert_allclose(a[fin], b[fin], rtol=rtol, atol=atol, err_msg=name)
 
 
@@ -105,13 +108,20 @@ def test_cross_path_hist_vs_broadcast(case, increase, lt):
     np.testing.assert_allclose(np.asarray(h["intgrdS"])[1:-1],
                                np.asarray(b["intgrdS"])[1:-1],
                                rtol=1e-10, atol=1e-6)
-    # For gt-flavored combos the two A(Yeq) table conventions differ by the
-    # inclusive-vs-strict row at y_k (one discrete row — same in the
-    # reference, visible only "at boundaries" per its own comments), so Yeq
-    # agreement is asserted to within one grid row.
-    row = float(np.max(np.abs(np.diff(lat))))
-    np.testing.assert_allclose(np.asarray(h["Yeq"])[1:-1],
-                               np.asarray(b["Yeq"])[1:-1], atol=1.05 * row)
+    # lt-flavored combos share the same A(Yeq) table convention: Yeq must
+    # agree tightly.  gt-flavored combos differ by the inclusive-vs-strict
+    # row at y_k — EXACTLY a one-row table shift (pinned analytically on a
+    # synthetic grid in test_parity_pinned.py), which on this slightly
+    # non-uniform gaussian grid bounds the Yeq offset by the local row gap.
+    ylt = lt if increase else (not lt)
+    hY = np.asarray(h["Yeq"])[1:-1]
+    bY = np.asarray(b["Yeq"])[1:-1]
+    if ylt:
+        np.testing.assert_allclose(hY, bY, atol=1e-6)
+    else:
+        row = float(np.max(np.abs(np.diff(lat))))
+        d = np.abs(hY - bY)
+        assert np.all(d <= 1.0001 * row), float(d.max())
 
 
 def test_area_tables_cross_path(case):

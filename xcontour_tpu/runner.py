@@ -1,8 +1,9 @@
 """Batch runner: stream large snapshot archives through a jitted pipeline.
 
 The reference's production driver (tests/LWA.py) is a Python double loop over
-time and level, writing one NetCDF at the end — no overlap, no resume.  This
-runner provides the aux-subsystem plan from SURVEY.md §5:
+time and level, writing one NetCDF at the end — no overlap, no resume, and
+one bad snapshot kills the whole archive.  This runner provides the
+aux-subsystem plan from SURVEY.md §5:
 
 * fixed-size batching (one compiled program reused for every chunk; a padded
   tail chunk avoids a second compilation);
@@ -11,50 +12,87 @@ runner provides the aux-subsystem plan from SURVEY.md §5:
 * idempotent per-chunk outputs: each chunk writes `<stem>_ck{k:05d}.npz` and
   is skipped when the file already exists, giving snapshot-granular
   checkpoint/resume for free;
+* failure isolation: per-chunk retry with backoff, then — under
+  ``on_error='skip'`` — a structured `<stem>_ck{k:05d}.failed` record (JSON:
+  chunk, valid count, error text) instead of an aborted archive; in-memory
+  runs fill the failed chunk with NaN so time indices stay aligned.
+  Checkify errors raised by a ``validate`` hook (utils.checks) surface the
+  in-jit guard message in the record;
 * structured per-chunk logging (shapes + wall time).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 
+def _failed_path(out_stem: str, k: int) -> str:
+    return f"{out_stem}_ck{k:05d}.failed"
+
+
 def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
                 snapshots: np.ndarray, batch: int = 32,
                 out_stem: Optional[str] = None,
-                resume: bool = True, log: Callable[[str], None] = print
-                ) -> Optional[Dict[str, np.ndarray]]:
+                resume: bool = True, log: Callable[[str], None] = print,
+                retries: int = 0, on_error: str = "raise",
+                retry_wait: float = 0.25,
+                validate: Optional[Callable[[Dict[str, np.ndarray]], None]]
+                = None) -> Optional[Dict[str, np.ndarray]]:
     """Run ``step`` over ``snapshots`` (T, Ny, Nx) in fixed-size batches.
 
     With ``out_stem`` set, results are written per chunk and already-written
     chunks are skipped (resume); returns None.  Without it, results are
     concatenated in memory and returned.
+
+    ``snapshots`` may be any sliceable (T, ...) source — an ndarray, a
+    ``np.memmap``, or an object with ``shape`` and ``__getitem__`` (lazy
+    loaders), so archives larger than host or device memory stream through.
+
+    Failure handling: each chunk is attempted ``retries + 1`` times (with
+    ``retry_wait * 2**attempt`` backoff).  ``validate(out_np)`` runs after
+    each fetch and may raise to reject the chunk (e.g. NaN guards or a
+    checkify ``err.throw()``).  When attempts are exhausted,
+    ``on_error='raise'`` re-raises; ``on_error='skip'`` records the failure
+    and continues with the remaining chunks.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     T = snapshots.shape[0]
     nchunk = -(-T // batch)
-    collected: Dict[str, list] = {}
+    collected: List[Optional[Dict[str, np.ndarray]]] = []
+    nvalids: List[int] = []
+    failures: List[int] = []
 
     # pre-issue the first transfer; subsequent transfers overlap compute
     def chunk_array(k):
         lo = k * batch
         hi = min(lo + batch, T)
-        arr = snapshots[lo:hi]
+        arr = np.asarray(snapshots[lo:hi])
         if hi - lo < batch:  # pad the tail so the compiled shape is reused
             pad = np.repeat(arr[-1:], batch - (hi - lo), axis=0)
             arr = np.concatenate([arr, pad], axis=0)
         return jax.device_put(jnp.asarray(arr)), hi - lo
+
+    def attempt(dev, nvalid):
+        out = step(dev)
+        out_np = {key: np.asarray(v)[:nvalid] for key, v in out.items()}
+        if validate is not None:
+            validate(out_np)
+        return out_np
 
     pending = chunk_array(0)
     for k in range(nchunk):
         dev, nvalid = pending
         if k + 1 < nchunk:
             pending = chunk_array(k + 1)
+        nvalids.append(nvalid)
 
         path = f"{out_stem}_ck{k:05d}.npz" if out_stem else None
         if path and resume and os.path.exists(path):
@@ -62,8 +100,35 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
             continue
 
         t0 = time.perf_counter()
-        out = step(dev)
-        out_np = {key: np.asarray(v)[:nvalid] for key, v in out.items()}
+        out_np, last_err = None, None
+        for a in range(retries + 1):
+            try:
+                out_np = attempt(dev, nvalid)
+                break
+            except Exception as e:  # noqa: BLE001 — isolate any step failure
+                last_err = e
+                if a < retries:
+                    wait = retry_wait * (2 ** a)
+                    log(f"[runner] chunk {k + 1}/{nchunk}: attempt "
+                        f"{a + 1} failed ({e}); retrying in {wait:.2f}s")
+                    time.sleep(wait)
+
+        if out_np is None:
+            if on_error == "raise":
+                raise last_err
+            failures.append(k)
+            log(f"[runner] chunk {k + 1}/{nchunk}: FAILED after "
+                f"{retries + 1} attempts: {last_err}")
+            if path:
+                rec = {"chunk": k, "nvalid": nvalid, "error": repr(last_err)}
+                tmp = _failed_path(out_stem, k) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(rec, f)
+                os.replace(tmp, _failed_path(out_stem, k))
+            else:
+                collected.append(None)
+            continue
+
         dt = time.perf_counter() - t0
         log(f"[runner] chunk {k + 1}/{nchunk}: {nvalid} snapshots "
             f"in {dt:.3f}s ({nvalid / dt:.1f}/s)")
@@ -72,24 +137,79 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
             tmp = path + ".tmp.npz"
             np.savez(tmp, **out_np)
             os.replace(tmp, path)  # atomic: a chunk file is complete or absent
+            failed = _failed_path(out_stem, k)
+            if os.path.exists(failed):  # a retry succeeded on resume
+                os.remove(failed)
         else:
-            for key, v in out_np.items():
-                collected.setdefault(key, []).append(v)
+            collected.append(out_np)
 
+    if failures:
+        log(f"[runner] {len(failures)}/{nchunk} chunks failed: {failures}")
     if out_stem:
         return None
-    return {k: np.concatenate(v, axis=0) for k, v in collected.items()}
+    good = next((c for c in collected if c is not None), None)
+    if good is None:
+        raise RuntimeError("all chunks failed; nothing to return") from None
+    parts: Dict[str, List[np.ndarray]] = {}
+    for c, nv in zip(collected, nvalids):
+        for key in good:
+            if c is not None:
+                parts.setdefault(key, []).append(c[key])
+            else:  # NaN-fill so time indices stay aligned with the archive
+                shape = (nv,) + good[key].shape[1:]
+                parts.setdefault(key, []).append(
+                    np.full(shape, np.nan, dtype=good[key].dtype))
+    return {k: np.concatenate(v, axis=0) for k, v in parts.items()}
 
 
-def load_chunks(out_stem: str) -> Dict[str, np.ndarray]:
-    """Reassemble results written by :func:`run_batched`."""
+def load_chunks(out_stem: str, allow_failed: bool = False
+                ) -> Dict[str, np.ndarray]:
+    """Reassemble results written by :func:`run_batched`.
+
+    Chunks recorded as failed (``*.failed`` markers) raise unless
+    ``allow_failed=True``, in which case they are NaN-filled using the shape
+    of the surviving chunks so the time axis stays aligned.
+    """
     import glob
     files = sorted(glob.glob(f"{out_stem}_ck*.npz"))
-    if not files:
+    markers = sorted(glob.glob(f"{out_stem}_ck*.failed"))
+    if not files and not markers:
         raise FileNotFoundError(f"no chunks matching {out_stem}_ck*.npz")
-    parts: Dict[str, list] = {}
+    if markers and not allow_failed:
+        detail = []
+        for m in markers:
+            with open(m) as f:
+                detail.append(json.load(f))
+        raise RuntimeError(
+            f"{len(markers)} failed chunk(s) under {out_stem}: {detail}; "
+            "re-run run_batched(..., resume=True) to retry them or pass "
+            "allow_failed=True to NaN-fill")
+
+    def _index(path: str) -> int:
+        stem = os.path.basename(path)
+        return int(stem.rsplit("_ck", 1)[1].split(".")[0])
+
+    chunks: Dict[int, Optional[Dict[str, np.ndarray]]] = {}
+    nvalid: Dict[int, int] = {}
     for f in files:
         with np.load(f) as z:
-            for k in z.files:
-                parts.setdefault(k, []).append(z[k])
+            chunks[_index(f)] = {k: z[k] for k in z.files}
+    for m in markers:
+        with open(m) as fh:
+            rec = json.load(fh)
+        if rec["chunk"] not in chunks:
+            chunks[rec["chunk"]] = None
+            nvalid[rec["chunk"]] = rec["nvalid"]
+
+    good = next(c for c in chunks.values() if c is not None)
+    parts: Dict[str, List[np.ndarray]] = {}
+    for k in sorted(chunks):
+        c = chunks[k]
+        for key in good:
+            if c is not None:
+                parts.setdefault(key, []).append(c[key])
+            else:
+                shape = (nvalid[k],) + good[key].shape[1:]
+                parts.setdefault(key, []).append(
+                    np.full(shape, np.nan, dtype=good[key].dtype))
     return {k: np.concatenate(v, axis=0) for k, v in parts.items()}
