@@ -87,3 +87,97 @@ def test_sharded_lwa_matches_local(mesh, rng):
     want = local_wave_activity(jnp.asarray(q), jnp.asarray(Q), jnp.asarray(dA),
                                jnp.asarray(ydef), increase=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+
+
+def test_pallas_kernels_under_shard_map(mesh, rng):
+    """Pallas x sharding composition: every Pallas kernel runs (interpret
+    mode on the CPU mesh) inside jax.shard_map over the batch axis and
+    reproduces its own unsharded result exactly.  The kernels are strictly
+    per-snapshot, so batch sharding must be a no-op on values; check_vma is
+    off because pallas_call does not yet annotate varying-mesh axes."""
+    from jax.sharding import PartitionSpec as P
+    from xcontour_tpu.kernels.hist_pallas import histogram_pallas_multi
+    from xcontour_tpu.kernels.lwa_pallas import lwa_pallas
+    from xcontour_tpu.kernels.length_pallas import contour_lengths_pallas
+    from xcontour_tpu.kernels.stencil_pallas import squared_gradient_pallas
+
+    B, Ny, Nx = 8, 16, 128
+    q = jnp.asarray(rng.normal(size=(B, Ny, Nx)), jnp.float32)
+    spec = (P("batch"), P("batch"))
+
+    def smap(fn, nargs=2):
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=spec[:nargs], out_specs=P("batch"),
+            check_vma=False))
+
+    # 1. multi-channel CDF histogram
+    edges = jnp.broadcast_to(
+        jnp.asarray(np.linspace(-4, 4, 10), jnp.float32), (B, 10))
+    w = jnp.ones((B, 2, Ny * Nx), jnp.float32)
+    vals = q.reshape(B, -1)
+    hist = lambda v, e: histogram_pallas_multi(v, e, w[:v.shape[0]],
+                                               interpret=True)
+    got = smap(hist)(vals, edges)
+    want = histogram_pallas_multi(vals, edges, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # 2. LWA surface kernel
+    Q = jnp.sort(jnp.mean(q, axis=-1), axis=-1)
+    W = jnp.asarray(rng.uniform(0.5, 2.0, size=(Ny, Nx)), jnp.float32)
+    lwa = lambda qs, Qs: lwa_pallas(qs, Qs, W, increase=True, interpret=True)
+    got = smap(lwa)(q, Q)
+    want = lwa_pallas(q, Q, W, increase=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # 3. marching-squares length kernel
+    levels = jnp.broadcast_to(
+        jnp.asarray(np.linspace(-1.5, 1.5, 7), jnp.float32), (B, 7))
+    ydef = jnp.asarray(np.deg2rad(np.linspace(-60, 60, Ny)), jnp.float32)
+    xdef = jnp.asarray(np.deg2rad(np.linspace(0, 350, Nx)), jnp.float32)
+    lens = lambda qs, ls: contour_lengths_pallas(qs, ls, ydef, xdef,
+                                                 latlon=True, interpret=True)
+    got = smap(lens)(q, levels)
+    want = contour_lengths_pallas(q, levels, ydef, xdef, latlon=True,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # 4. gradient stencil kernel
+    dx = jnp.ones((Ny, Nx), jnp.float32)
+    dy = jnp.ones((Ny, 1), jnp.float32)
+    sg = lambda qs: squared_gradient_pallas(qs, dx, dy, periodic_x=True,
+                                            bc_y="extend", interpret=True)
+    got = jax.jit(jax.shard_map(sg, mesh=mesh, in_specs=P("batch"),
+                                out_specs=P("batch"), check_vma=False))(q)
+    want = squared_gradient_pallas(q, dx, dy, periodic_x=True, bc_y="extend",
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_clength_fractal_pipelines_sharded(mesh, rng):
+    """The geometry pipelines give identical results with mesh-sharded
+    batches (the batch-parallel execution model of reference
+    core.py:1006-1012)."""
+    from xcontour_tpu.pipeline import clength_pipeline, fractal_pipeline
+    Ny, Nx = 16, 32
+    lat = np.linspace(-75, 75, Ny)
+    lon = np.linspace(0, 360 - 360 / Nx, Nx)
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    B = 8
+    q = (np.sin(np.deg2rad(lat))[None, :, None]
+         + 0.1 * rng.standard_normal((B, Ny, Nx)))
+    tr = jax.device_put(jnp.asarray(q), shard_batch_spec(mesh, 3))
+
+    plain = clength_pipeline(jnp.asarray(q), grid, N=9, increase=True, lt=True)
+    shard = clength_pipeline(tr, grid, N=9, increase=True, lt=True)
+    for k in ("lengths", "Leq2", "cmGrd"):
+        np.testing.assert_allclose(np.asarray(shard[k]), np.asarray(plain[k]),
+                                   rtol=1e-9, equal_nan=True, err_msg=k)
+
+    plainf = fractal_pipeline(jnp.asarray(q), grid, N=9, strides=(1, 2),
+                              increase=True, lt=True)
+    shardf = fractal_pipeline(tr, grid, N=9, strides=(1, 2),
+                              increase=True, lt=True)
+    for k in ("lengths", "D", "bclens"):
+        np.testing.assert_allclose(np.asarray(shardf[k]),
+                                   np.asarray(plainf[k]),
+                                   rtol=1e-9, equal_nan=True, err_msg=k)
