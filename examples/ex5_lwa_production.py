@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from xcontour_tpu import grid as G
 from xcontour_tpu.utils import synth
-from xcontour_tpu.pipeline import lwa_pipeline
+from xcontour_tpu.pipeline import lwa_pipeline, as_dataset
 from xcontour_tpu.runner import run_batched, load_chunks
 from xcontour_tpu.utils.constants import Rearth
 
@@ -53,6 +53,14 @@ def main():
           "max (m/s):", float(np.nanmax(out["lwa"])))
     # resume is a no-op
     run_batched(jax.jit(step), pv, batch=4, out_stem=stem)
+
+    # labeled netCDF-3 output, like the reference's to_netcdf
+    # (tests/LWA.py:99-101) but with coordinates attached by as_dataset
+    ds = as_dataset(out, grid)
+    nc = os.path.join(tempfile.gettempdir(), "lwa_prod.nc")
+    ds.to_nc3(nc)
+    print("wrote", nc, "vars:", sorted(ds.keys()),
+          "dims(lwa):", ds.dims_of("lwa"))
 
 
 if __name__ == "__main__":

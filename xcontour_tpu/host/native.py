@@ -148,22 +148,13 @@ def find_contours_numpy(data: np.ndarray, level: float) -> List[np.ndarray]:
         used.add(start)
         prev, cur = None, start
         while True:
-            nxt = None
-            for nb in adj[cur]:
-                if nb == prev:
-                    continue
-                if nb == start and len(line) > 2:
-                    line.append(start)
-                    break
-                if nb in used:
-                    continue
-                nxt = nb
-                break
-            else:
-                pass
-            if line[-1] == start and len(line) > 2:
-                break
+            nxt = next((nb for nb in adj[cur]
+                        if nb != prev and nb not in used), None)
             if nxt is None:
+                # end of an open chain — or a ring, which closes back onto
+                # its (already-used) start
+                if len(line) > 2 and start in adj[cur]:
+                    line.append(start)
                 break
             prev, cur = cur, nxt
             used.add(cur)
@@ -171,6 +162,8 @@ def find_contours_numpy(data: np.ndarray, level: float) -> List[np.ndarray]:
         if len(line) >= 2:
             out.append(np.asarray(line))
 
+    # open chains first (walk outward from degree-1 endpoints), then any
+    # remaining closed rings
     for p, nbrs in adj.items():
         if len(nbrs) == 1 and p not in used:
             walk(p)

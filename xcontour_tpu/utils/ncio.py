@@ -23,23 +23,39 @@ import numpy as np
 
 @dataclass
 class Dataset:
-    """A minimal named-array container: variables + per-variable dim names."""
+    """A minimal named-array container: variables + per-variable dim names,
+    1-D coordinate variables, and per-variable attributes — the labeled
+    output shape the reference's xarray pipelines return
+    (/root/reference/xcontour/core.py:251-266, 1017-1047)."""
 
     variables: Dict[str, np.ndarray] = field(default_factory=dict)
     dims: Dict[str, Tuple[str, ...]] = field(default_factory=dict)
     attrs: Dict[str, dict] = field(default_factory=dict)
+    coords: Dict[str, np.ndarray] = field(default_factory=dict)
 
     def __getitem__(self, name: str) -> np.ndarray:
-        return self.variables[name]
+        if name in self.variables:
+            return self.variables[name]
+        return self.coords[name]
 
     def __contains__(self, name: str) -> bool:
-        return name in self.variables
+        return name in self.variables or name in self.coords
 
     def keys(self):
         return self.variables.keys()
 
     def dims_of(self, name: str) -> Tuple[str, ...]:
         return self.dims[name]
+
+    def to_nc3(self, path: str) -> None:
+        """Write as classic netCDF-3 (the format the reference drivers emit,
+        tests/LWA.py:99-101)."""
+        save_dataset_nc3(path, self.variables, self.dims, coords=self.coords,
+                         attrs=self.attrs)
+
+    def to_nc4(self, path: str) -> None:
+        """Write as HDF5/netCDF-4 with dimension scales."""
+        save_dataset(path, self.variables, self.dims, coords=self.coords)
 
 
 def _load_h5(path: str) -> Dataset:
@@ -125,14 +141,23 @@ def save_dataset_nc3(path: str, variables: Dict[str, np.ndarray],
     variable names to attribute dicts (units, long_name, ...)."""
     from scipy.io import netcdf_file
 
+    def _nc3(a):
+        # classic netCDF has no 64-bit ints / half floats
+        a = np.asarray(a)
+        if a.dtype == np.int64:
+            return a.astype(np.int32)
+        if a.dtype == np.float16:
+            return a.astype(np.float32)
+        return a
+
     coords = coords or {}
     attrs = attrs or {}
     with netcdf_file(path, "w") as f:
         for cname, cvals in coords.items():
-            cvals = np.asarray(cvals)
+            cvals = _nc3(cvals)
             f.createDimension(cname, cvals.shape[0])
         for cname, cvals in coords.items():
-            cvals = np.asarray(cvals)
+            cvals = _nc3(cvals)
             v = f.createVariable(cname, cvals.dtype.str[1:], (cname,))
             v[:] = cvals
             for k, val in attrs.get(cname, {}).items():
@@ -140,7 +165,7 @@ def save_dataset_nc3(path: str, variables: Dict[str, np.ndarray],
         for vname, vals in variables.items():
             if vname in coords:
                 continue
-            vals = np.asarray(vals)
+            vals = _nc3(vals)
             vdims = dims.get(vname, ())
             for ax, dname in enumerate(vdims):
                 if dname not in f.dimensions:
