@@ -1,19 +1,35 @@
 #!/usr/bin/env python
-"""Headline benchmark: combined Keff + LWA diagnostics, snapshots/sec.
+"""Benchmark suite: headline throughput, per-kernel rooflines, the full
+workload matrix, and an out-of-core streaming run — one JSON line out.
 
-Workload (BASELINE.json north star): the full effective-diffusivity +
+Headline (BASELINE.json north star): the combined effective-diffusivity +
 local-wave-activity chain on 256x512 global vorticity snapshots, N=121
-contours — the configuration of the bundled Data/barotropic_vorticity.nc and
-reference tests/test_LWA.py:26.
+contours (the bundled Data/barotropic_vorticity.nc; reference
+tests/test_LWA.py:26).
 
-Baseline: the float64 NumPy reference-semantics implementation (compat.py)
-timed on the same machine.  The reference's actual stack (xarray + dask +
-xhistogram) adds interpreter/graph overhead on top of the same NumPy kernels,
-so the reported speedup is a conservative lower bound on the speedup over the
-real reference.
+Timing methodology (IMPORTANT): this environment's remote TPU runtime does
+not synchronize in ``jax.block_until_ready`` (measured impossible rates —
+"1692 Tflop/s" matmuls — when relying on it).  ``device_time`` therefore
+chains each call through a data dependency, forces completion with a scalar
+fetch, and takes the slope between two rep counts so the fixed ~30 ms tunnel
+round-trip cancels.  Calibration on this chip: 268 MB elementwise stream
+676 GB/s (83% of the 819 GB/s v5e HBM spec), 4096^3 f32 matmul 171 Tflop/s.
+Round-1 numbers (BENCH_r01) used block_until_ready and therefore measured
+enqueue rate, not device time — r02 onward is the honest series.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "snapshots/sec", "vs_baseline": N}
+Baselines: the float64 reference-semantics NumPy oracle (compat.py) and a
+tougher hand-vectorized float32 NumPy chain, both timed per snapshot on this
+host.  The reference's literal stack (xarray + dask + xhistogram) is not
+installable in this image; those layers only add interpreter/graph overhead
+on top of the same NumPy kernels, so both baselines are conservative.
+
+Rooflines use public TPU v5e ceilings: HBM 819 GB/s; VPU 8x128 lanes x 4
+ALUs x ~0.94 GHz = 3.85e12 single ops/s (7.7e12 FLOP/s counting FMA as 2).
+Op-count models per kernel are documented inline next to each measurement.
+
+Prints ONE JSON line with nested sections:
+  {"metric", "value", "unit", "vs_baseline", "baselines", "kernels",
+   "workloads", "out_of_core", "method"}
 """
 
 import json
@@ -21,13 +37,48 @@ import os
 import sys
 import time
 
-# persistent compilation cache: the remote Mosaic compile service in this
-# image is slow cold, instant cached
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import numpy as np
 
+# ---- v5e ceilings (public spec) -------------------------------------------
+HBM_BW = 819e9            # bytes/s
+VPU_OPS = 3.85e12         # single (non-FMA) vector ops/s
+D2R = np.pi / 180.0
+REARTH = 6371200.0
 
+
+# ---------------------------------------------------------------------------
+# timing
+# ---------------------------------------------------------------------------
+def device_time(step, x0, reps=20, r1=2):
+    """Median-free slope timing: run r1 and r1+reps dependency-chained calls,
+    each ending in a scalar fetch; per-call = (T2 - T1) / reps.
+
+    ``step`` must map its input to a same-structured output (chaining) and is
+    expected to fold the *computation's result* into what it returns, so no
+    call can be elided or overlapped past the fetch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def run(n):
+        o = x0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = step(o)
+        float(jnp.sum(o.ravel()[:8]))     # tiny fetch forces the whole chain
+        return time.perf_counter() - t0
+
+    run(1)                                 # compile + warm
+    t1 = run(r1)
+    t2 = run(r1 + reps)
+    return max((t2 - t1) / reps, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# data
+# ---------------------------------------------------------------------------
 def _load():
     from xcontour_tpu.utils.ncio import load_dataset
     ds = load_dataset("/root/reference/Data/barotropic_vorticity.nc")
@@ -36,24 +87,23 @@ def _load():
             np.asarray(ds["absolute_vorticity"], np.float64))
 
 
-def cpu_baseline_sps(lat, lon, vor, n_snap=2, N=121):
-    """Reference-semantics CPU chain, per-snapshot Python loop (the
-    reference's execution model), seconds -> snapshots/sec."""
+# ---------------------------------------------------------------------------
+# CPU baselines
+# ---------------------------------------------------------------------------
+def cpu_oracle_sps(lat, lon, vor, n_snap=10, N=121):
+    """Reference-semantics float64 NumPy chain (compat.py), per-snapshot
+    Python loop — the reference's execution model."""
     from xcontour_tpu import compat
     from xcontour_tpu import grid as G
     import jax.numpy as jnp
 
-    # f32 metrics are fine here: this function only anchors the *timing*
-    # baseline (the math runs in numpy float64 regardless)
     grid = G.from_latlon(lat, lon, dtype=jnp.float32)
-    dA = np.asarray(grid.dA)
-    dxF = np.asarray(grid.dxF)
+    dA = np.asarray(grid.dA, np.float64)
+    dxF = np.asarray(grid.dxF, np.float64)
     mask = np.ones_like(vor)
     pre_y = lat
 
-    t0 = time.perf_counter()
-    for i in range(n_snap):
-        tr = vor if i == 0 else vor * (1.0 + 1e-6 * i)
+    def one(tr):
         grdS = compat.squared_gradient(tr, lat, lon)
         out = compat.keff_snapshot(tr, grdS, lat, dA, dxF, mask, pre_y, N=N,
                                    increase=True, lt=True, hist=True,
@@ -61,11 +111,80 @@ def cpu_baseline_sps(lat, lon, vor, n_snap=2, N=121):
         Q = compat.interp_to_coords(lat, out["origin"]["Yeq"],
                                     out["origin"]["contour"])
         compat.local_wave_activity(tr, Q, dA, lat, increase=True)
-    dt = time.perf_counter() - t0
-    return n_snap / dt
+
+    one(vor)                                # warm caches
+    t0 = time.perf_counter()
+    for i in range(n_snap):
+        one(vor * (1.0 + 1e-6 * (i + 1)))
+    return n_snap / (time.perf_counter() - t0)
 
 
-def tpu_sps(lat, lon, vor, batch=32, reps=8, N=121):
+def cpu_numpy_fast_sps(lat, lon, vor, n_snap=10, N=121):
+    """Tougher baseline: hand-vectorized float32 NumPy Keff+LWA — same
+    algorithmic content as the pipeline (gradient, two weighted CDFs, table
+    lookup, area derivatives, sorted profile, O(Ny^2 Nx) LWA), none of the
+    oracle's generality."""
+    n_snap = max(n_snap, 30)   # fast chain: time longer to keep run-to-run
+    # variance under 10%
+    lat32 = lat.astype(np.float32)
+    Ny, Nx = vor.shape
+    dy = (np.gradient(lat) * D2R * REARTH).astype(np.float32)
+    dx = (np.cos(lat * D2R)[:, None]
+          * (np.gradient(lon) * D2R * REARTH)[None, :]).astype(np.float32)
+    latE = np.concatenate([[lat[0] - (lat[1] - lat[0]) / 2],
+                           (lat[:-1] + lat[1:]) / 2,
+                           [lat[-1] + (lat[-1] - lat[-2]) / 2]])
+    latE = np.clip(latE, -90, 90)
+    dlam = float(np.mean(np.gradient(lon)))
+    dA = (REARTH ** 2 * np.abs(np.diff(np.sin(latE * D2R)))[:, None]
+          * np.full((1, Nx), dlam * D2R)).astype(np.float32)
+    areaY = np.cumsum(dA.sum(axis=1)).astype(np.float32)  # A(y<=y_k), lt=True
+
+    def one(q):
+        q = q.astype(np.float32)
+        qx = (np.roll(q, -1, 1) - np.roll(q, 1, 1)) * 0.5 / dx
+        qy = np.empty_like(q)
+        qy[1:-1] = (q[2:] - q[:-2]) * 0.5
+        qy[0] = q[1] - q[0]
+        qy[-1] = q[-1] - q[-2]
+        qy /= dy[:, None]
+        grdS = qx * qx + qy * qy
+        ctr = np.linspace(q.min(), q.max(), N, dtype=np.float32)
+        edges = np.concatenate([[ctr[0] - (ctr[1] - ctr[0])], ctr])
+        qf = q.ravel()
+        h_a, _ = np.histogram(qf, bins=edges, weights=dA.ravel())
+        h_g, _ = np.histogram(qf, bins=edges, weights=(grdS * dA).ravel())
+        intArea = np.cumsum(h_a).astype(np.float32)
+        intgrdS = np.cumsum(h_g).astype(np.float32)
+        Yeq = np.interp(intArea, areaY, lat32)
+        dgrdSdA = np.gradient(intgrdS) / np.gradient(intArea)
+        dqdA = np.gradient(ctr) / np.gradient(intArea)
+        Leq2 = dgrdSdA / (dqdA * dqdA)
+        Lmin = 2 * np.pi * REARTH * np.cos(Yeq * D2R)
+        nkeff = Leq2 / (Lmin * Lmin)
+        Q = np.interp(lat32, Yeq, ctr).astype(np.float32)
+        wei = (dA / dA.max() * dA).astype(np.float32)
+        lwa = np.empty_like(q)
+        for j in range(Ny):                  # O(Ny^2 Nx), vectorized inner
+            qe = q - Q[j]
+            m = np.zeros_like(q)
+            sel = np.arange(Ny)[:, None] >= j
+            m[sel & (qe < 0)] = 1.0
+            m[~sel & (qe > 0)] = -1.0
+            lwa[j] = -(qe * m * wei).sum(axis=0)
+        return nkeff, lwa
+
+    one(vor)
+    t0 = time.perf_counter()
+    for i in range(n_snap):
+        one(vor * (1.0 + 1e-6 * (i + 1)))
+    return n_snap / (time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# TPU sections
+# ---------------------------------------------------------------------------
+def headline(lat, lon, vor, batch=32, N=121):
     import jax
     import jax.numpy as jnp
     from xcontour_tpu import grid as G
@@ -73,44 +192,340 @@ def tpu_sps(lat, lon, vor, batch=32, reps=8, N=121):
 
     grid = G.from_latlon(lat, lon, dtype=jnp.float32)
     rng = np.random.default_rng(0)
-    snaps = (vor[None, :, :] *
-             (1.0 + 1e-4 * rng.standard_normal((batch, 1, 1))))
+    snaps = vor[None] * (1.0 + 1e-4 * rng.standard_normal((batch, 1, 1)))
     tr = jnp.asarray(snaps, jnp.float32)
 
+    @jax.jit
     def step(t):
         out = keff_lwa_pipeline(t, grid, N=N, increase=True, lt=True,
                                 lmin="analytic")
-        return out["nkeff"], out["Yeq"], out["lwa"]
+        # fold the full result set back into the next input: nothing can be
+        # dead-code-eliminated or deferred past the fetch
+        dep = (out["lwa"] + out["nkeff"][..., 0, None, None]
+               + out["Yeq"][..., 0, None, None])
+        return t + 1e-30 * dep
 
-    fn = jax.jit(step)
-    out = fn(tr)
-    jax.block_until_ready(out)  # compile + warm
+    per = device_time(step, tr, reps=16)
+    sps = batch / per
+
+    # output sanity on a real (unchained) call
+    out = keff_lwa_pipeline(tr, grid, N=N, increase=True, lt=True,
+                            lmin="analytic")
+    nk = np.asarray(out["nkeff"])
+    assert np.isfinite(nk).sum() > nk.size * 0.5, "benchmark output degenerate"
+    return sps
+
+
+def _kernel_time(kernel_of_x, x0, inner_lo=2, inner_hi=10, reps=8):
+    """Per-invocation kernel time with BOTH overheads cancelled: the outer
+    slope (device_time) removes the tunnel round-trip, and an inner slope —
+    the same kernel chained inner_lo vs inner_hi times inside one jitted
+    program — removes the per-launch dispatch cost.  Chaining (x depends on
+    the previous kernel's output) makes in-trace CSE impossible."""
+    import jax
+
+    def make(inner):
+        @jax.jit
+        def step(x):
+            for _ in range(inner):
+                x = x + 1e-30 * kernel_of_x(x)
+            return x
+        return step
+
+    t_hi = device_time(make(inner_hi), x0, reps=reps)
+    t_lo = device_time(make(inner_lo), x0, reps=reps)
+    return max((t_hi - t_lo) / (inner_hi - inner_lo), 1e-9)
+
+
+def kernel_rooflines(lat, lon, vor, batch=32, N=121):
+    """Per-Pallas-kernel device time + achieved fraction of the binding
+    v5e ceiling, on the real snapshot data (noise fields are the worst case
+    for the length kernel's row-block level pretest).  Op-count models are
+    stated in each entry."""
+    import jax.numpy as jnp
+
+    Ny, Nx = vor.shape
+    from xcontour_tpu.kernels.lwa_pallas import lwa_pallas
+    from xcontour_tpu.kernels.hist_pallas import histogram_pallas_multi
+    from xcontour_tpu.kernels.stencil_pallas import squared_gradient_pallas
+    from xcontour_tpu.kernels.length_pallas import contour_lengths_pallas
+
+    rng = np.random.default_rng(0)
+    snaps = vor[None] * (1.0 + 1e-4 * rng.standard_normal((batch, 1, 1)))
+    q = jnp.asarray(snaps, jnp.float32)
+    out = {}
+
+    # stencil: one VMEM pass, read q + write out (+ dx, dy once) -> HBM-bound.
+    # Measured at B=512 (537 MB per invocation) so the operand cannot stay
+    # on-chip across chained invocations; at the pipeline's B=32 the batch
+    # fits in VMEM and runs faster than HBM speed (measured 1046 GB/s).
+    BS = 512
+    qs = jnp.asarray(np.tile(np.asarray(q[:32]), (BS // 32, 1, 1)),
+                     jnp.float32)
+    dx = jnp.asarray(rng.uniform(0.5, 1.0, (Ny, Nx)), jnp.float32)
+    dy = jnp.ones((Ny, 1), jnp.float32)
+    t = _kernel_time(lambda x: squared_gradient_pallas(
+        x, dx, dy, periodic_x=True, bc_y="extend"), qs,
+        inner_lo=2, inner_hi=10, reps=6)
+    bts = 2 * BS * Ny * Nx * 4 + 2 * Ny * Nx * 4
+    out["stencil"] = dict(
+        ms=round(t * 1e3, 4), model="2*B*Ny*Nx*4B HBM traffic (B=512)",
+        achieved_gbps=round(bts / t / 1e9, 1),
+        pct_roofline=round(100 * bts / t / HBM_BW, 1), bound="HBM")
+
+    # LWA: O(Ny^2 Nx) masked multiply-reduce, VMEM-resident -> VPU-bound.
+    # ~7 vector ops per (surface, cell) pair (sub, 3 select/cmp, 2 mul, add)
+    Q = jnp.sort(jnp.mean(q, -1), -1)
+    W = jnp.asarray(rng.uniform(0.5, 1.0, (Ny, Nx)), jnp.float32)
+    t = _kernel_time(lambda x: lwa_pallas(x, Q, W, increase=True), q)
+    ops = batch * Ny * Ny * Nx * 7
+    out["lwa"] = dict(
+        ms=round(t * 1e3, 4), model="B*Ny^2*Nx * 7 vector ops",
+        achieved_tops=round(ops / t / 1e12, 2),
+        pct_roofline=round(100 * ops / t / VPU_OPS, 1), bound="VPU")
+
+    # hist (2-channel CDF): per level per element 1 cmp + 2x(select+add)
+    import jax.numpy as jnp  # noqa: F811 (readability)
+    G = Ny * Nx
+    vals = q.reshape(batch, G)
+    lo, hi = float(np.nanmin(snaps)), float(np.nanmax(snaps))
+    edges = jnp.asarray(np.linspace(lo, hi, N + 1)[None].repeat(batch, 0),
+                        jnp.float32)
+    wts = jnp.asarray(rng.uniform(0.5, 1.0, (batch, 2, G)), jnp.float32)
+
+    def hist_k(x):
+        r = histogram_pallas_multi(x, edges, wts)
+        return jnp.sum(r, axis=(1, 2))[:, None]
+    t = _kernel_time(hist_k, vals)
+    ops = batch * N * G * 5
+    out["hist_cdf2"] = dict(
+        ms=round(t * 1e3, 4), model="B*N*G * (1 cmp + 2*(sel+add))",
+        achieved_tops=round(ops / t / 1e12, 2),
+        pct_roofline=round(100 * ops / t / VPU_OPS, 1), bound="VPU")
+
+    # marching-squares lengths: per (cell, level) corner code + 2 haversines
+    # when crossed; the row-block level pretest skips un-crossed (block,
+    # level) pairs, so the static ~12 ops/cell-level model is an upper bound
+    # on useful work (real fields cross few levels per block)
+    levels = jnp.asarray(np.linspace(lo, hi, N)[None].repeat(batch, 0),
+                         jnp.float32)
+    ydef = jnp.asarray(np.deg2rad(lat), jnp.float32)
+    xdef = jnp.asarray(np.deg2rad(lon), jnp.float32)
+
+    def len_k(x):
+        r = contour_lengths_pallas(x, levels, ydef, xdef, latlon=True)
+        return jnp.sum(r, axis=1)[:, None, None]
+    t = _kernel_time(len_k, q, inner_lo=1, inner_hi=5, reps=4)
+    ops = batch * N * (Ny - 1) * (Nx - 1) * 12
+    out["length"] = dict(
+        ms=round(t * 1e3, 4),
+        model="B*N*cells * ~12 ops (pretest-amortized upper bound)",
+        achieved_tops=round(ops / t / 1e12, 2),
+        pct_roofline=round(100 * ops / t / VPU_OPS, 1), bound="VPU")
+    return out
+
+
+def workload_matrix(lat, lon, vor):
+    import jax
+    import jax.numpy as jnp
+    from xcontour_tpu import grid as G
+    from xcontour_tpu.pipeline import (keff_lwa_pipeline, clength_pipeline,
+                                       fractal_pipeline)
+    from xcontour_tpu.diagnostics.local_length import local_contour_lengths
+
+    out = {}
+    grid = G.from_latlon(lat, lon, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+
+    # ERA5-scale 0.25-degree grid (exercises the X-panel-blocked LWA kernel)
+    NyE, NxE = 721, 1440
+    latE = np.linspace(-90, 90, NyE)
+    lonE = np.arange(0, 360, 0.25)
+    gridE = G.from_latlon(latE, lonE, dtype=jnp.float32)
+    base = (2e-4 * np.sin(np.deg2rad(latE))[:, None]
+            + 4e-5 * np.sin(5 * np.deg2rad(lonE))[None, :])
+    BE = 4
+    trE = jnp.asarray(base[None] * (1 + 1e-3 * rng.standard_normal((BE, 1, 1)))
+                      + 2e-6 * rng.standard_normal((BE, NyE, NxE)), jnp.float32)
+
+    @jax.jit
+    def stepE(t):
+        o = keff_lwa_pipeline(t, gridE, N=241, increase=True, lt=True,
+                              lmin="analytic")
+        return t + 1e-30 * (o["lwa"] + o["nkeff"][..., 0, None, None])
+    per = device_time(stepE, trE, reps=6)
+    out["era5_keff_lwa_sps"] = round(BE / per, 1)
+
+    # year of daily PV end-to-end through the batch runner (incl. host IO)
+    from xcontour_tpu.runner import run_batched
+    year = (vor[None] * (1 + 1e-3 * rng.standard_normal((365, 1, 1)))
+            ).astype(np.float32)
+
+    def stepY(t):
+        o = keff_lwa_pipeline(t, grid, N=121, increase=True, lt=True,
+                              lmin="analytic")
+        return {"nkeff": o["nkeff"], "Yeq": o["Yeq"]}
+    jstep = jax.jit(stepY)
+    r = run_batched(jstep, year[:32], batch=32, log=lambda s: None)  # warm
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(tr)
-    jax.block_until_ready(out)
+    r = run_batched(jstep, year, batch=32, log=lambda s: None)
     dt = time.perf_counter() - t0
-    return batch * reps / dt, out
+    assert r["nkeff"].shape == (365, 121)
+    out["year_pv_s"] = round(dt, 2)
+    out["year_pv_sps"] = round(365 / dt, 1)
+
+    # contour lengths at the two reference contour counts
+    B = 8
+    tr = jnp.asarray(vor[None] * (1 + 1e-4 * rng.standard_normal((B, 1, 1))),
+                     jnp.float32)
+    for n in (121, 401):
+        @jax.jit
+        def stepC(t, n=n):
+            o = clength_pipeline(t, grid, N=n, increase=True, lt=True)
+            return t + 1e-30 * (o["lengths"].sum(-1)[:, None, None]
+                                + o["cmGrd"].sum(-1)[:, None, None])
+        per = device_time(stepC, tr, reps=6)
+        out[f"clength_N{n}_ms_per_snap"] = round(per / B * 1e3, 3)
+
+    # fractal ladder, strides 1..32 with box counting
+    BF = 8
+
+    @jax.jit
+    def stepF(t):
+        o = fractal_pipeline(t, grid, N=121, strides=(1, 2, 4, 8, 16, 32),
+                             increase=True, lt=True)
+        return t + 1e-30 * (o["D"].sum(-1)[:, None, None]
+                            + o["bclens"].sum((-2, -1))[:, None, None])
+    per = device_time(stepF, tr[:BF], reps=12)
+    out["fractal_s1to32_ms_per_snap"] = round(per / BF * 1e3, 3)
+
+    # local (windowed) lengths, the reference's 101-window/stride-10 config
+    v32 = jnp.asarray(vor, jnp.float32)
+
+    @jax.jit
+    def stepL(t):
+        L, oy, ox = local_contour_lengths(t, grid.ydef, grid.xdef,
+                                          window=101, stride=10, latlon=True)
+        return t + 1e-30 * jnp.nansum(L)
+    per = device_time(stepL, v32, reps=4)
+    out["local_length_w101_s10_ms_per_snap"] = round(per * 1e3, 3)
+    return out
+
+
+class _LazyEra5Archive:
+    """Procedural ERA5-scale snapshot archive: (T, 721, 1440) f32, generated
+    chunk-by-chunk so neither host RAM nor device HBM ever holds it."""
+
+    def __init__(self, T, base, seed=7):
+        self.shape = (T,) + base.shape
+        self._base = base.astype(np.float32)
+        self._seed = seed
+
+    def __getitem__(self, sl):
+        idx = np.arange(*sl.indices(self.shape[0]))
+        rng = np.random.default_rng(self._seed)
+        coef = (1.0 + 1e-3 * np.sin(0.1 * idx)).astype(np.float32)
+        chunk = self._base[None] * coef[:, None, None]
+        chunk += 2e-6 * rng.standard_normal(self._base.shape).astype(np.float32)
+        return chunk
+
+
+def out_of_core(n_snap=4224):
+    """Stream an archive larger than the 16 GiB HBM through run_batched:
+    4224 x 721 x 1440 f32 = 16.3 GiB of input, chunked host->device with
+    overlapped transfers, small per-chunk outputs fetched (the dask
+    out-of-core role, reference core.py:685, tests/test_dask.py).
+
+    In this image host->device moves through a remote tunnel at ~16 MB/s, so
+    the full archive takes ~18 min wall — streaming is tunnel-bound, not
+    design-bound (device compute for the same snapshots is ~35 s).  The
+    default bench run therefore streams a 2.5 GiB sample live and attaches
+    the recorded full-archive run (BENCH_OOC_FULL.json, produced by running
+    this function with n_snap=4224; set BENCH_OOC_SNAPS=4224 to redo it
+    live)."""
+    import jax
+    import jax.numpy as jnp
+    from xcontour_tpu import grid as G
+    from xcontour_tpu.pipeline import keff_lwa_pipeline
+    from xcontour_tpu.runner import run_batched
+
+    NyE, NxE = 721, 1440
+    latE = np.linspace(-90, 90, NyE)
+    lonE = np.arange(0, 360, 0.25)
+    gridE = G.from_latlon(latE, lonE, dtype=jnp.float32)
+    base = (2e-4 * np.sin(np.deg2rad(latE))[:, None]
+            + 4e-5 * np.sin(5 * np.deg2rad(lonE))[None, :]).astype(np.float32)
+    arch = _LazyEra5Archive(n_snap, base)
+    gib = n_snap * NyE * NxE * 4 / 2 ** 30
+
+    def step(t):
+        o = keff_lwa_pipeline(t, gridE, N=121, increase=True, lt=True,
+                              lmin="analytic")
+        return {"nkeff": o["nkeff"], "Yeq": o["Yeq"],
+                "lwa_zm": jnp.nanmean(o["lwa"], axis=-1)}
+    jstep = jax.jit(step)
+    run_batched(jstep, _LazyEra5Archive(64, base), batch=32,
+                log=lambda s: None)                       # warm compile
+    t0 = time.perf_counter()
+    out = run_batched(jstep, arch, batch=32, log=lambda s: None)
+    dt = time.perf_counter() - t0
+    assert out["nkeff"].shape == (n_snap, 121)
+    assert np.isfinite(out["nkeff"][:: n_snap // 7]).any()
+    return dict(snapshots=n_snap, input_gib=round(gib, 2),
+                wall_s=round(dt, 1), sps=round(n_snap / dt, 1),
+                note="721x1440 f32 archive streamed in 32-snapshot chunks "
+                     "with overlapped transfers; outputs fetched per chunk; "
+                     "rate is tunnel-bound in this image (~16 MB/s "
+                     "host->device)")
+
+
+def out_of_core_section():
+    n = int(os.environ.get("BENCH_OOC_SNAPS", "320"))
+    sec = {"live_sample": out_of_core(n_snap=n)}
+    full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_OOC_FULL.json")
+    if os.path.exists(full):
+        with open(full) as f:
+            sec["full_archive_recorded"] = json.load(f)
+    return sec
 
 
 def main():
     lat, lon, vor = _load()
+    n_cpu = int(os.environ.get("BENCH_CPU_SNAPS", "10"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
-    reps = int(os.environ.get("BENCH_REPS", "8"))
-    n_cpu = int(os.environ.get("BENCH_CPU_SNAPS", "2"))
 
-    dev_sps, out = tpu_sps(lat, lon, vor, batch=batch, reps=reps)
-    cpu_sps = cpu_baseline_sps(lat, lon, vor, n_snap=n_cpu)
+    sps = headline(lat, lon, vor, batch=batch)
+    kernels = kernel_rooflines(lat, lon, vor, batch=batch)
+    workloads = workload_matrix(lat, lon, vor)
+    ooc = out_of_core_section()
 
-    # sanity: results finite where expected
-    nk = np.asarray(out[0])
-    assert np.isfinite(nk).sum() > nk.size * 0.5, "benchmark output degenerate"
+    oracle = cpu_oracle_sps(lat, lon, vor, n_snap=n_cpu)
+    fast = cpu_numpy_fast_sps(lat, lon, vor, n_snap=n_cpu)
 
     print(json.dumps({
         "metric": "keff+lwa snapshots/sec (256x512 global grid, N=121, f32)",
-        "value": round(dev_sps, 3),
+        "value": round(sps, 1),
         "unit": "snapshots/sec",
-        "vs_baseline": round(dev_sps / cpu_sps, 2),
+        "vs_baseline": round(sps / oracle, 2),
+        "baselines": {
+            "oracle_f64_sps": round(oracle, 3),
+            "numpy_fast_f32_sps": round(fast, 3),
+            "vs_numpy_fast": round(sps / fast, 2),
+            "cpu_snaps_timed": n_cpu,
+            "note": ("xarray/dask/xhistogram are not installable in this "
+                     "image; both baselines are pure NumPy on this host — "
+                     "the literal reference stack adds overhead on top, so "
+                     "the speedups are conservative lower bounds"),
+        },
+        "kernels": kernels,
+        "workloads": workloads,
+        "out_of_core": ooc,
+        "method": ("fetch-forced dependency-chained slope timing "
+                   "(block_until_ready does not synchronize through this "
+                   "remote runtime; r01 numbers measured enqueue rate). "
+                   "Calibration: 676 GB/s elementwise (83% HBM spec), "
+                   "171 Tflop/s f32 matmul."),
     }))
 
 

@@ -95,20 +95,31 @@ def main():
           f"{np.nanmedian(D[np.isfinite(D)]):.2f}")
     ok &= geom_ok
 
-    # throughput
+    # throughput — fetch-forced chained slope timing: block_until_ready does
+    # not synchronize through this remote runtime (see bench.device_time)
     B = 32
     rng = np.random.default_rng(0)
     tr = jnp.asarray(vor[None] * (1 + 1e-4 * rng.standard_normal((B, 1, 1))),
                      jnp.float32)
-    fn = jax.jit(lambda t: keff_lwa_pipeline(t, grid, N=121, increase=True,
-                                             lt=True, lmin="analytic")["lwa"])
-    jax.block_until_ready(fn(tr))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        o = fn(tr)
-    jax.block_until_ready(o)
-    sps = 5 * B / (time.perf_counter() - t0)
-    print(f"  throughput: {sps:.0f} snapshots/sec (B={B})")
+
+    @jax.jit
+    def step(t):
+        lwa = keff_lwa_pipeline(t, grid, N=121, increase=True, lt=True,
+                                lmin="analytic")["lwa"]
+        return t + 1e-30 * lwa
+
+    def run(n):
+        o = tr
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = step(o)
+        float(jnp.sum(o[0, 0, :8]))
+        return time.perf_counter() - t0
+
+    run(1)
+    t1, t2 = run(2), run(12)
+    sps = 10 * B / (t2 - t1)
+    print(f"  throughput: {sps:.0f} snapshots/sec (B={B}, chained+fetched)")
 
     print("TPU smoke:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
