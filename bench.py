@@ -274,13 +274,15 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
         pct_roofline=round(100 * bts / t / HBM_BW, 1), bound="HBM")
 
     # LWA: O(Ny^2 Nx) masked multiply-reduce, VMEM-resident -> VPU-bound.
-    # ~7 vector ops per (surface, cell) pair (sub, 3 select/cmp, 2 mul, add)
+    # ~5 vector ops per (surface, cell) pair in the min/max-identity form
+    # (sub, min, select, sub, mul) + the reduce add
     Q = jnp.sort(jnp.mean(q, -1), -1)
     W = jnp.asarray(rng.uniform(0.5, 1.0, (Ny, Nx)), jnp.float32)
     t = _kernel_time(lambda x: lwa_pallas(x, Q, W, increase=True), q)
-    ops = batch * Ny * Ny * Nx * 7
+    ops = batch * Ny * Ny * Nx * 5
     out["lwa"] = dict(
-        ms=round(t * 1e3, 4), model="B*Ny^2*Nx * 7 vector ops",
+        ms=round(t * 1e3, 4),
+        model="B*Ny^2*Nx * 5 vector ops (min/max identity form)",
         achieved_tops=round(ops / t / 1e12, 2),
         pct_roofline=round(100 * ops / t / VPU_OPS, 1), bound="VPU")
 

@@ -53,20 +53,33 @@ def _kernel(e_ref, v_ref, w_ref, out_ref, acc_ref, *, n_bins: int,
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
 
-    def body(k, _):
-        e = e_ref[b, k + 1]
-        below = v < e
-        onehot = iota_n == k
-        for c in range(channels):
-            cnt = jnp.sum(jnp.where(below, wvs[c], 0.0))
-            # top level is right-inclusive (np.histogram's closed last bin)
-            cnt = jnp.where(k == n_bins - 1, totals[c], cnt)
-            # scalar VMEM stores are not lowerable: accumulate through a
-            # one-hot row vector instead
-            acc_ref[c:c + 1, :] += jnp.where(onehot, cnt, 0.0)
+    # Levels are processed in blocks of 8, unrolled inside the loop body, so
+    # Mosaic can interleave the 8 independent compare/select/reduce chains
+    # instead of serializing one full-tile reduction per level (measured
+    # ~13% -> higher VPU utilization).  Blocks may run past n_bins into the
+    # slots the caller slices off; edge reads clamp to stay in bounds.
+    LB = 8
+    n_blk = (n_pad + LB - 1) // LB
+
+    def body(blk, _):
+        k0 = blk * LB
+        for kk in range(LB):
+            k = k0 + kk
+            k_safe = jnp.minimum(k, n_bins - 1)
+            e = e_ref[b, k_safe + 1]
+            below = v < e
+            onehot = iota_n == k
+            for c in range(channels):
+                cnt = jnp.sum(jnp.where(below, wvs[c], 0.0))
+                # top level is right-inclusive (np.histogram's closed last
+                # bin)
+                cnt = jnp.where(k == n_bins - 1, totals[c], cnt)
+                # scalar VMEM stores are not lowerable: accumulate through a
+                # one-hot row vector instead
+                acc_ref[c:c + 1, :] += jnp.where(onehot, cnt, 0.0)
         return 0
 
-    jax.lax.fori_loop(0, n_bins, body, 0, unroll=False)
+    jax.lax.fori_loop(0, n_blk, body, 0, unroll=False)
 
     @pl.when(t == nt - 1)
     def _():

@@ -48,6 +48,27 @@ def _part_zero(mask, part: str, increase: bool):
     return jnp.where(keep, mask, 0.0)
 
 
+def _signed_term(qe, m, mask_inc: bool, part: str, part_inc: bool):
+    """qe * mask(qe, m, mask_inc), the per-cell LWA integrand.
+
+    For part='all' the 3-valued mask never needs materializing: with
+    min(x,0) - x == -max(x,0) exactly in IEEE arithmetic,
+
+        qe*mask = min(qe,0) - [~m]*qe    (mask_inc)
+                = max(qe,0) - [~m]*qe    (not mask_inc)
+
+    which is bit-identical to the select form at ~30% fewer vector ops
+    (measured on the VPU-bound kernel).  Part selections keep the mask form;
+    ``part_inc`` is the ORIGINAL increase flag — for variant2 the mask flips
+    but part selection stays keyed on the original (reference core.py:860-872
+    quirk).
+    """
+    if part == "all":
+        ext = jnp.minimum(qe, 0.0) if mask_inc else jnp.maximum(qe, 0.0)
+        return ext - jnp.where(m, 0.0, qe)
+    return qe * _part_zero(_mask_value(qe, m, mask_inc), part, part_inc)
+
+
 def _kernel(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, *, increase: bool,
             part: str, variant2: bool, ny: int):
     b = pl.program_id(0)
@@ -71,14 +92,13 @@ def _kernel(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, *, increase: bool,
                 Qcol = Qt_ref[0]                        # (Ny, 1)
                 qe = qrow[None, :] - Qcol
                 nan = jnp.isnan(qrow)[None, :] | jnp.isnan(Qcol)
-                mask = _mask_value(qe, m, not increase)
+                signed = _signed_term(qe, m, not increase, part, increase)
             else:
                 Qj = Qs_ref[b, j]                       # SMEM scalar
                 qe = q - Qj
                 nan = qnan
-                mask = _mask_value(qe, m, increase)
-            mask = _part_zero(mask, part, increase)
-            term = jnp.where(nan, 0.0, qe * mask * W)
+                signed = _signed_term(qe, m, increase, part, increase)
+            term = jnp.where(nan, 0.0, signed * W)
             out_ref[0, jj, :] = -jnp.sum(term, axis=0)
         return 0
 
@@ -123,14 +143,13 @@ def _kernel_yblocked(Qs_ref, qy_ref, qj_ref, Qt_ref, W_ref, out_ref, *,
                 Qcol = Qt_ref[0]                      # (YB, 1) local block
                 qe = qrow[None, :] - Qcol
                 nan = jnp.isnan(qrow)[None, :] | jnp.isnan(Qcol)
-                mask = _mask_value(qe, m, not increase)
+                signed = _signed_term(qe, m, not increase, part, increase)
             else:
                 Qj = Qs_ref[b, j]
                 qe = qy - Qj
                 nan = qnan
-                mask = _mask_value(qe, m, increase)
-            mask = _part_zero(mask, part, increase)
-            term = jnp.where(nan | ~valid_row, 0.0, qe * mask * W)
+                signed = _signed_term(qe, m, increase, part, increase)
+            term = jnp.where(nan | ~valid_row, 0.0, signed * W)
             out_ref[0, jj, :] += -jnp.sum(term, axis=0)
         return 0
 
