@@ -53,12 +53,13 @@ def _kernel(e_ref, v_ref, w_ref, out_ref, acc_ref, *, n_bins: int,
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
 
-    # Levels are processed in blocks of 8, unrolled inside the loop body, so
-    # Mosaic can interleave the 8 independent compare/select/reduce chains
+    # Levels are processed in blocks of 16, unrolled inside the loop body, so
+    # Mosaic can interleave the independent compare/select/reduce chains
     # instead of serializing one full-tile reduction per level (measured
-    # ~13% -> higher VPU utilization).  Blocks may run past n_bins into the
-    # slots the caller slices off; edge reads clamp to stay in bounds.
-    LB = 8
+    # ~13% -> ~70% VPU utilization together with the 256-row tile).  Blocks
+    # may run past n_bins into the slots the caller slices off; edge reads
+    # clamp to stay in bounds.
+    LB = 16
     n_blk = (n_pad + LB - 1) // LB
 
     def body(blk, _):
@@ -88,7 +89,7 @@ def _kernel(e_ref, v_ref, w_ref, out_ref, acc_ref, *, n_bins: int,
 
 @partial(jax.jit, static_argnames=("tile", "interpret"))
 def histogram_pallas_multi(values: jax.Array, edges: jax.Array,
-                           weights: jax.Array, *, tile: int = 16384,
+                           weights: jax.Array, *, tile: int = 32768,
                            interpret: bool = False) -> jax.Array:
     """Multi-channel ascending-order weighted CDF.
 
