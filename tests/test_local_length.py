@@ -60,3 +60,34 @@ def test_local_length_ratio_zonal_field():
         window=21, stride=10, latlon=True)
     ratio = np.asarray(num) / np.asarray(den)
     assert np.nanmax(np.abs(ratio - 1)) < 1e-6
+
+
+def test_local_length_pallas_window_batch_parity(vorticity):
+    """The batched-window Pallas path (all windows through the length kernel
+    as one batch with per-window coordinate patches) matches the XLA
+    dynamic-slice path, interpret mode on CPU."""
+    import importlib
+    from xcontour_tpu import config
+    from xcontour_tpu.diagnostics.local_length import local_contour_lengths
+    lk = importlib.import_module("xcontour_tpu.kernels.length_pallas")
+    lat, lon, vor = vorticity
+    data = jnp.asarray(vor[::4, ::4], jnp.float64)      # 64 x 128
+    ydef = jnp.asarray(lat[::4], jnp.float64)
+    xdef = jnp.asarray(lon[::4], jnp.float64)
+
+    want, cy, cx = local_contour_lengths(data, ydef, xdef, window=33,
+                                         stride=8, latlon=True)
+    orig = lk.local_lengths_pallas
+    lk.local_lengths_pallas = lambda *a, **k: orig(
+        *a, interpret=True, **{kk: v for kk, v in k.items()
+                               if kk != "interpret"})
+    config.set_use_pallas(True)
+    try:
+        got, gy, gx = local_contour_lengths(data, ydef, xdef, window=33,
+                                            stride=8, latlon=True)
+    finally:
+        config.set_use_pallas(None)
+        lk.local_lengths_pallas = orig
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(cy))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-9, equal_nan=True)

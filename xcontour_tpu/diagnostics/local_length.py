@@ -75,6 +75,41 @@ def local_contour_lengths(data: jax.Array, ydef: jax.Array, xdef: jax.Array, *,
     if levels is None:
         levels = means
 
+    from .. import config
+    if config.use_pallas():
+        # Batched-window path: extract every (window x window) patch as one
+        # strided convolution, then run ALL windows through the Pallas length
+        # kernel as one (n_windows, window, window) batch with per-window
+        # coordinate patches and a single level each — ~8x faster than
+        # per-window dynamic slices (the overlapping-window recompute stays,
+        # but it runs at kernel throughput with the level pretest active).
+        ny, nx = data.shape[-2:]
+        Wy, Wx = oy.shape[0], ox.shape[0]
+        # window extraction as static strided slices — pure data movement
+        # (conv_general_dilated_patches lowers to a real window^2-channel
+        # convolution on TPU: measured 110 ms vs ~0.3 ms for the copies)
+        oy_np = range(0, ny - window + 1, stride)
+        ox_np = range(0, nx - window + 1, stride)
+        rows = jnp.stack([data[i:i + window, :] for i in oy_np])
+        patches = jnp.stack([rows[:, :, j:j + window] for j in ox_np],
+                            axis=1).reshape(Wy * Wx, window, window)
+        ywin = yc[oy[:, None] + jnp.arange(window)[None, :]]      # (Wy, w)
+        xwin = xc[ox[:, None] + jnp.arange(window)[None, :]]      # (Wx, w)
+        ywin = jnp.broadcast_to(ywin[:, None, :], (Wy, Wx, window)
+                                ).reshape(Wy * Wx, window)
+        xwin = jnp.broadcast_to(xwin[None, :, :], (Wy, Wx, window)
+                                ).reshape(Wy * Wx, window)
+        from ..kernels.length_pallas import local_lengths_pallas
+        lv = levels.reshape(Wy * Wx)
+        totals = local_lengths_pallas(patches, lv, ywin, xwin, latlon=latlon)
+        lengths = jnp.where(jnp.isnan(lv) | (totals == 0.0),
+                            jnp.nan, totals).reshape(Wy, Wx)
+        if latlon:
+            lengths = lengths * Rearth
+        cy = ydef[oy + window // 2] if window // 2 < ydef.shape[0] else ydef[oy]
+        cx = xdef[ox + window // 2] if window // 2 < xdef.shape[0] else xdef[ox]
+        return lengths, cy, cx
+
     # cell geometry precomputed once over the full grid
     v00 = data[:-1, :-1]
     v01 = data[:-1, 1:]

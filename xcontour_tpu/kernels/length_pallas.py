@@ -115,16 +115,19 @@ def _kernel(lev_ref, mm_ref, v00_ref, v01_ref, v10_ref, v11_ref,
     def _():
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    lev = lev_ref[b, n]
-    mn = mm_ref[b, rb, 0]
-    mx = mm_ref[b, rb, 1]
+    # scalar-prefetch operands are FLAT: SMEM pads each trailing 2-D tile to
+    # (8, 128), which overflows the 1 MB SMEM for large batches (the windowed
+    # local-length workload runs hundreds of windows per call)
+    lev = lev_ref[b * n_levels + n]
+    mn = mm_ref[(b * n_rb + rb) * 2]
+    mx = mm_ref[(b * n_rb + rb) * 2 + 1]
 
     @pl.when((lev >= mn) & (lev <= mx))
     def _():
-        y0 = y0_ref[...]                 # (RB, 1)
-        y1 = y1_ref[...]
-        x0 = x0_ref[0][None, :]          # (1, NxC)
-        x1 = x1_ref[0][None, :]
+        y0 = y0_ref[0]                   # (RB, 1)
+        y1 = y1_ref[0]
+        x0 = x0_ref[0]                   # (1, NxC)
+        x1 = x1_ref[0]
         cnt = _block_length(lev, v00_ref[0], v01_ref[0], v10_ref[0],
                             v11_ref[0], y0, y1, x0, x1, valid_ref[0] > 0,
                             latlon)
@@ -141,12 +144,16 @@ def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
                            ydef: jax.Array, xdef: jax.Array, *,
                            latlon: bool, interpret: bool = False) -> jax.Array:
     """Total perimeter per level.  data (B, Ny, Nx); levels (B, N);
-    ydef/xdef coordinate vectors (radians if latlon, else meters).
+    ydef/xdef coordinate vectors (radians if latlon, else meters) — either
+    shared (Ny,)/(Nx,) or per-batch-element (B, Ny)/(B, Nx) (the windowed
+    local-length workload gives every window its own coordinate patch).
     Returns (B, N) raw totals (0 for empty contours; caller NaN-ifies and
     applies the Earth-radius factor)."""
     B, Ny, Nx = data.shape
     N = levels.shape[-1]
     n_pad = -(-N // 128) * 128
+    ydef = jnp.broadcast_to(ydef, (B, Ny))
+    xdef = jnp.broadcast_to(xdef, (B, Nx))
 
     v00 = data[:, :-1, :-1]
     v01 = data[:, :-1, 1:]
@@ -173,13 +180,13 @@ def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
                                       jnp.maximum(v10, v11)), -jnp.inf)
     lo = jnp.min(lo.reshape(B, n_rb, _RB * NxC), axis=-1)
     hi = jnp.max(hi.reshape(B, n_rb, _RB * NxC), axis=-1)
-    minmax = jnp.stack([lo, hi], axis=-1)            # (B, n_rb, 2)
+    minmax = jnp.stack([lo, hi], axis=-1).reshape(-1)   # flat (B*n_rb*2,)
 
-    ypad = jnp.zeros((pad_r,), ydef.dtype)
-    y0 = jnp.concatenate([ydef[:-1], ypad])[:, None]  # (NyCp, 1)
-    y1 = jnp.concatenate([ydef[1:], ypad])[:, None]
-    x0 = xdef[None, :-1]
-    x1 = xdef[None, 1:]
+    ypad = jnp.zeros((B, pad_r), ydef.dtype)
+    y0 = jnp.concatenate([ydef[:, :-1], ypad], axis=1)[:, :, None]
+    y1 = jnp.concatenate([ydef[:, 1:], ypad], axis=1)[:, :, None]
+    x0 = xdef[:, None, :-1]                           # (B, 1, NxC)
+    x1 = xdef[:, None, 1:]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -193,13 +200,13 @@ def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _RB, NxC), lambda b, r, n, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 1), lambda b, r, n, *_: (r, 0),
+            pl.BlockSpec((1, _RB, 1), lambda b, r, n, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 1), lambda b, r, n, *_: (r, 0),
+            pl.BlockSpec((1, _RB, 1), lambda b, r, n, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NxC), lambda b, r, n, *_: (0, 0),
+            pl.BlockSpec((1, 1, NxC), lambda b, r, n, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NxC), lambda b, r, n, *_: (0, 0),
+            pl.BlockSpec((1, 1, NxC), lambda b, r, n, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _RB, NxC), lambda b, r, n, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
@@ -212,6 +219,88 @@ def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, 8, n_pad), data.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(levels, minmax, v00, v01, v10, v11, y0, y1, x0, x1,
+    )(levels.reshape(-1), minmax, v00, v01, v10, v11, y0, y1, x0, x1,
       valid.astype(data.dtype))
     return out[:, 0, :N]
+
+
+def _local_kernel(lev_ref, v00_ref, v01_ref, v10_ref, v11_ref,
+                  y0_ref, y1_ref, x0_ref, x1_ref, valid_ref, out_ref, *,
+                  latlon: bool, wb: int):
+    g = pl.program_id(0)
+
+    def body(w, _):
+        lev = lev_ref[g * wb + w]
+        cnt = _block_length(lev, v00_ref[w], v01_ref[w], v10_ref[w],
+                            v11_ref[w], y0_ref[w], y1_ref[w], x0_ref[w],
+                            x1_ref[w], valid_ref[w] > 0, latlon)
+        # NaN level (empty window) -> NaN total; lanes broadcast, caller
+        # reads lane 0
+        cnt = jnp.where(jnp.isnan(lev), jnp.nan, cnt)
+        out_ref[w, :] = jnp.broadcast_to(cnt, (out_ref.shape[-1],))
+        return 0
+
+    jax.lax.fori_loop(0, wb, body, 0, unroll=False)
+
+
+@partial(jax.jit, static_argnames=("latlon", "wb", "interpret"))
+def local_lengths_pallas(patches: jax.Array, levels: jax.Array,
+                         ywin: jax.Array, xwin: jax.Array, *,
+                         latlon: bool, wb: int = 16,
+                         interpret: bool = False) -> jax.Array:
+    """Per-window contour length at one level per window.
+
+    patches (nw, W, W) tracer windows; levels (nw,); ywin (nw, W),
+    xwin (nw, W) per-window coordinates (radians if latlon).  Returns (nw,)
+    raw totals (0 when the level crosses nothing).  ``wb`` windows are
+    evaluated per grid step so the per-step dispatch cost amortizes —
+    one tiny block per step measured ~24 us of pure overhead.
+    """
+    nw, W, _ = patches.shape
+    WC = W - 1
+    pad_w = (-nw) % wb
+    if pad_w:
+        patches = jnp.concatenate(
+            [patches, jnp.full((pad_w, W, W), jnp.nan, patches.dtype)])
+        levels = jnp.concatenate(
+            [levels, jnp.full((pad_w,), jnp.nan, levels.dtype)])
+        ywin = jnp.concatenate([ywin, jnp.zeros((pad_w, W), ywin.dtype)])
+        xwin = jnp.concatenate([xwin, jnp.zeros((pad_w, W), xwin.dtype)])
+    nwp = nw + pad_w
+
+    v00 = patches[:, :-1, :-1]
+    v01 = patches[:, :-1, 1:]
+    v10 = patches[:, 1:, :-1]
+    v11 = patches[:, 1:, 1:]
+    valid = (~(jnp.isnan(v00) | jnp.isnan(v01) | jnp.isnan(v10) |
+               jnp.isnan(v11))).astype(patches.dtype)
+    y0 = ywin[:, :-1, None]
+    y1 = ywin[:, 1:, None]
+    x0 = xwin[:, None, :-1]
+    x1 = xwin[:, None, 1:]
+
+    win_specs = [pl.BlockSpec((wb, WC, WC), lambda g, *_: (g, 0, 0),
+                              memory_space=pltpu.VMEM) for _ in range(5)]
+    coord_specs = [
+        pl.BlockSpec((wb, WC, 1), lambda g, *_: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, WC, 1), lambda g, *_: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, 1, WC), lambda g, *_: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, 1, WC), lambda g, *_: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nwp // wb,),
+        in_specs=win_specs[:4] + coord_specs + win_specs[4:],
+        out_specs=pl.BlockSpec((wb, 128), lambda g, *_: (g, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_local_kernel, latlon=latlon, wb=wb),
+        out_shape=jax.ShapeDtypeStruct((nwp, 128), patches.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(levels, v00, v01, v10, v11, y0, y1, x0, x1, valid)
+    return out[:nw, 0]
