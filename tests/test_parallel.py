@@ -181,3 +181,26 @@ def test_clength_fractal_pipelines_sharded(mesh, rng):
         np.testing.assert_allclose(np.asarray(shardf[k]),
                                    np.asarray(plainf[k]),
                                    rtol=1e-9, equal_nan=True, err_msg=k)
+
+
+def test_sharded_contour_lengths_matches_local(mesh, rng):
+    """X-sharded perimeter lengths: one halo column over the ring, local
+    cells, psum — equals the single-device geometry exactly, including the
+    NaN masking of land and the no-seam-cell convention."""
+    from xcontour_tpu.parallel import sharded_contour_lengths
+    from xcontour_tpu.diagnostics.length import contour_lengths
+    B, Ny, Nx = 8, 24, 64
+    lat = np.linspace(-75, 75, Ny)
+    lon = np.linspace(0, 360 - 360 / Nx, Nx)
+    q = (np.sin(np.deg2rad(lat))[None, :, None]
+         + 0.15 * rng.standard_normal((B, Ny, Nx)))
+    q[:, 5:8, 10:20] = np.nan                     # land mask crossing shards
+    ctr = np.stack([np.linspace(np.nanmin(t), np.nanmax(t), 9) for t in q])
+
+    want = contour_lengths(jnp.asarray(q), jnp.asarray(ctr),
+                           jnp.asarray(lat), jnp.asarray(lon), latlon=True)
+    tr = jax.device_put(jnp.asarray(q), shard_batch_spec(mesh, 3))
+    got = sharded_contour_lengths(tr, jnp.asarray(ctr), jnp.asarray(lat),
+                                  jnp.asarray(lon), mesh, latlon=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, equal_nan=True)
