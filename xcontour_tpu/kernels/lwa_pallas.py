@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TJ = 8  # surfaces per grid step (= f32 sublane tile)
+_TJ = 32  # surfaces per grid step (4 f32 sublane tiles: measured ~7% faster
+# than 8 — longer unrolled bodies give Mosaic more independent chains)
 
 
 def _mask_value(qe, m, increase: bool):
