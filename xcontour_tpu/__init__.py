@@ -30,6 +30,12 @@ from .core import (  # noqa: F401
 from . import pipeline  # noqa: F401
 from . import runner  # noqa: F401
 from . import config  # noqa: F401
+# the reference's top-level metric builders (its __init__.py exports them
+# from utils); the full reference namespace lives in .xcontour
+from .xcontour import (  # noqa: F401
+    add_latlon_metrics, add_latlon_metrics_old, add_MITgcm_missing_metrics,
+    contour_area, contour_length,
+)
 from .diagnostics.lwa import (  # noqa: F401
     local_wave_activity, local_wave_activity2, lwa_masks_at,
 )
