@@ -495,11 +495,25 @@ class Contour2D:
     def interp_to_coords(self, predef, eq_coords, var):
         return interp_to_coords(jnp.asarray(predef, self.dtype), eq_coords, var)
 
-    def interp_to_dataset(self, predef, eq_coords, vs: dict) -> dict:
-        """Dict analogue of the reference's Dataset merge (core.py:1017-1047)."""
-        predef = jnp.asarray(predef, self.dtype)
-        return {name: interp_to_coords(predef, eq_coords, var)
-                for name, var in vs.items()}
+    def interp_to_dataset(self, predef, eq_coords, vs: dict):
+        """The reference's Dataset merge (core.py:1017-1047): every variable
+        interpolated onto ``predef`` equivalent coordinates, returned as a
+        labeled Dataset (dict-style access works; ``.to_nc3``/``.to_nc4``
+        write it out).  The new coordinate is named after the grid's
+        equivalent dim like the reference's 'new'->dimEq rename."""
+        from .utils.ncio import Dataset
+        predef_j = jnp.asarray(predef, self.dtype)
+        out = {name: interp_to_coords(predef_j, eq_coords, var)
+               for name, var in vs.items()}
+        pdim = self.grid.dim_names[0]
+        ds = Dataset()
+        ds.coords[pdim] = np.asarray(predef)
+        for name, var in out.items():
+            a = np.asarray(var)
+            lead = tuple(f"dim{i}_{s}" for i, s in enumerate(a.shape[:-1]))
+            ds.variables[name] = a
+            ds.dims[name] = lead + (pdim,)
+        return ds
 
     # -- checks -----------------------------------------------------------
     def _maybe_check_mono(self, var):

@@ -41,6 +41,9 @@ class Dataset:
     def __contains__(self, name: str) -> bool:
         return name in self.variables or name in self.coords
 
+    def __iter__(self):
+        return iter(self.variables)
+
     def keys(self):
         return self.variables.keys()
 
