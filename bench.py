@@ -205,7 +205,9 @@ def headline(lat, lon, vor, batch=32, N=121):
                + out["Yeq"][..., 0, None, None])
         return t + 1e-30 * dep
 
-    per = device_time(step, tr, reps=16)
+    # median of three slope measurements: run-to-run variance on this shared
+    # chip is ~10% and the headline should not ride an outlier
+    per = float(np.median([device_time(step, tr, reps=16) for _ in range(3)]))
     sps = batch / per
 
     # output sanity on a real (unchained) call
