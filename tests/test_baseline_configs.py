@@ -55,7 +55,10 @@ def test_config3_lwa_with_breaking_masks(vorticity):
     lat, lon, vor = vorticity
     grid = G.from_latlon(lat, lon, dtype=jnp.float64)
     out = lwa_pipeline(jnp.asarray(vor), grid, N=121, increase=True, lt=True)
-    assert np.nanmin(np.asarray(out["lwa"])) >= -1e-9
+    # LWA >= 0 up to the fast path's summation noise floor (eps * column
+    # totals; the pairwise form has the same property at a smaller scale)
+    lwa = np.asarray(out["lwa"])
+    assert np.nanmin(lwa) >= -1e-9 * np.nanmax(lwa)
     # breaking-mask capture at the reference's indices (tests/test_LWA.py:77)
     ctrs, masks = lwa_masks_at(jnp.asarray(vor), out["Q"], grid.dA, grid.ydef,
                                [37, 125, 170, 213], increase=True)

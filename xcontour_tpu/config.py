@@ -32,3 +32,24 @@ def use_pallas() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+_LWA_FAST_OVERRIDE: Optional[bool] = None
+
+
+def set_lwa_fast(value: Optional[bool]) -> None:
+    """Allow/forbid the O(Ny log Ny) linearized LWA path in 'auto' method
+    resolution (selected only above the measured Ny crossover; part='all'
+    only); None restores the default (allowed).  Exact path control is the
+    ``method`` kwarg on the LWA entry points."""
+    global _LWA_FAST_OVERRIDE
+    _LWA_FAST_OVERRIDE = value
+
+
+def lwa_fast() -> bool:
+    if _LWA_FAST_OVERRIDE is not None:
+        return _LWA_FAST_OVERRIDE
+    env = os.environ.get("XCONTOUR_LWA_FAST")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return True

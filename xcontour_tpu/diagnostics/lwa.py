@@ -8,6 +8,24 @@ with xarray overhead per step.  Here the j-loop becomes a chunked
 elementwise+reduction kernel, so the arithmetic streams from HBM at full
 bandwidth and nothing is ever materialized at O(Ny^2*Nx).
 
+For ``part='all'`` (the default and the production configuration) the
+O(Ny^2*Nx) pairwise form is bypassed entirely: the reference's 3-valued mask
+(core.py:759-766) satisfies the exact identity  mask = t + c - 1  where
+t = [row >= j] and c = [qe < 0] (resp. [qe > 0] for decreasing tracers) —
+tie cells have qe == 0 and vanish either way — which makes the masked sum
+LINEAR in two separable indicators:
+
+    LWA_j = -[ suffix_j(qe*W)  +  CDF(qe*W at Q_j)  -  total(qe*W) ]
+
+i.e. a reverse cumsum along the equivalent dim, a per-column sorted-prefix
+lookup, and a total: O(Ny*Nx*log Ny) instead of O(Ny^2*Nx).  The result is
+identical to the pairwise form up to float summation order (verified exactly
+in float64, see tests/test_lwa_fast.py).  W+/W- part selections multiply the
+two indicators and stay on the pairwise paths.  In practice the dense
+VMEM-resident Pallas kernel still wins below Ny ~ 1500 (see
+_FAST_NY_CROSSOVER), so 'auto' reserves the linearized path for tall
+equivalent dims; method='fast' forces it.
+
 Conventions: fields are (..., Ny, Nx) with the equivalent dim at axis -2;
 sorted profiles Q are (..., Ny).
 """
@@ -55,7 +73,8 @@ def _pallas_ok(q) -> bool:
     return config.use_pallas() and (Ny * 128 * q.dtype.itemsize) <= _VMEM_BUDGET
 
 
-def _lwa_via_pallas(q, Q, W, increase: bool, part: str, variant2: bool):
+def _lwa_via_pallas(q, Q, W, increase: bool, part: str, variant2: bool,
+                    pairwise: bool = False):
     from ..kernels.lwa_pallas import lwa_pallas
     batch = q.shape[:-2]
     Ny, Nx = q.shape[-2:]
@@ -63,8 +82,69 @@ def _lwa_via_pallas(q, Q, W, increase: bool, part: str, variant2: bool):
     Qf = jnp.broadcast_to(Q, batch + (Ny,)).reshape((-1, Ny))
     W = jnp.broadcast_to(W, (Ny, Nx))
     out = lwa_pallas(qf, Qf, W, increase=increase, part=part,
-                     variant2=variant2)
+                     variant2=variant2, pairwise=pairwise)
     return out.reshape(batch + (Ny, Nx))
+
+
+def _lwa_lin_xla(q, Q, W, increase: bool, variant2: bool, chunk: int):
+    """XLA twin of the linearized Pallas kernels (kernels/lwa_pallas.py
+    _kernel_lin[2]): the E t-term from the telescoping recurrence + a
+    chunked 4-op c-term reduce per surface.  Same results, same f32 noise
+    profile; used off-TPU and as the interpreter-free parity anchor."""
+    batch = q.shape[:-2]
+    Ny, Nx = q.shape[-2:]
+    qf = q.reshape((-1, Ny, Nx))
+    Qf = jnp.broadcast_to(Q, batch + (Ny,)).reshape((-1, Ny))
+    Wb = jnp.broadcast_to(W, (Ny, Nx))
+
+    validQ = jnp.isfinite(Qf)
+    c0 = jnp.where(jnp.any(validQ, -1),
+                   jnp.nanmean(jnp.where(validQ, Qf, jnp.nan), -1), 0.0)
+    c0 = c0.astype(q.dtype)
+    qc = qf - c0[:, None, None]
+    Qc = Qf - c0[:, None]
+    Qt = jnp.where(validQ, Qc, 0.0)
+    sent = jnp.asarray(jnp.inf if increase else -jnp.inf, q.dtype)
+    B = qf.shape[0]
+
+    if variant2:
+        Qs = jnp.where(validQ, Qc, sent)[:, :, None]
+        Wv = jnp.where(validQ[:, :, None] & jnp.isfinite(Wb), Wb, 0.0)
+        P0 = jax.lax.cumsum(Wv, axis=1) - Wv
+        qt = jnp.where(jnp.isfinite(qf), qc, 0.0)
+        inc = ((Qt[:, :-1, None] - qt[:, 1:]) * Wv[:, :-1]
+               - (qt[:, 1:] - qt[:, :-1]) * P0[:, :-1])
+        E = jnp.concatenate(
+            [jnp.zeros((B, 1, Nx), q.dtype), jnp.cumsum(inc, axis=1)], axis=1)
+
+        def one(j):
+            qrow = jnp.take(qc, j, axis=1)                    # (B, Nx)
+            qe = qrow[:, None, :] - Qs
+            ext = jnp.maximum(qe, 0.0) if increase else jnp.minimum(qe, 0.0)
+            R = jnp.sum(ext * Wv, axis=1)
+            row = -(R + jnp.take(E, j, axis=1))
+            return jnp.where(jnp.isfinite(qrow), row, 0.0)
+    else:
+        valid = jnp.isfinite(qf) & jnp.isfinite(Wb)
+        qk = jnp.where(valid, qc, sent)
+        Wv = jnp.where(valid, Wb, 0.0)
+        qt = jnp.where(valid, qc, 0.0)
+        P0 = jax.lax.cumsum(Wv, axis=1) - Wv
+        inc = ((Qt[:, 1:, None] - qt[:, :-1]) * Wv[:, :-1]
+               + (Qt[:, 1:] - Qt[:, :-1])[..., None] * P0[:, :-1])
+        E = jnp.concatenate(
+            [jnp.zeros((B, 1, Nx), q.dtype), jnp.cumsum(inc, axis=1)], axis=1)
+
+        def one(j):
+            Qj = jnp.take(Qc, j, axis=1)                      # (B,)
+            qe = qk - Qj[:, None, None]
+            ext = jnp.minimum(qe, 0.0) if increase else jnp.maximum(qe, 0.0)
+            R = jnp.sum(ext * Wv, axis=1)
+            row = -(R + jnp.take(E, j, axis=1))
+            return jnp.where(jnp.isnan(Qj)[:, None], 0.0, row)
+
+    lwa = _chunked_over_surfaces(one, Ny, chunk)              # (Ny, B, Nx)
+    return jnp.moveaxis(lwa, 0, 1).reshape(batch + (Ny, Nx))
 
 
 def _chunked_over_surfaces(fn, Ny: int, chunk: int):
@@ -78,25 +158,197 @@ def _chunked_over_surfaces(fn, Ny: int, chunk: int):
     return out
 
 
-@partial(jax.jit, static_argnames=("increase", "part", "chunk"))
-def local_wave_activity(q, Q, dA, ydef, *, increase: bool, part: str = "all",
-                        chunk: int = 16, weight=None):
-    """LWA (Huang-Nakamura 2016), reference core.py:696-799.
+def _cdf_at(values, w0, w1, queries):
+    """Per-row weighted CDFs, gather-free: values/w0/w1 (..., n) unsorted,
+    queries (..., m) -> (S0, S1) (..., m) with S0[k] ~= sum of w0 where
+    value < queries[k] (and S1 with w1).
 
-    q : (..., Ny, Nx) tracer;  Q : (..., Ny) sorted profile on ydef;
-    dA : (Ny, Nx) cell areas;  ydef : (Ny,).
-    Returns LWA (..., Ny, Nx): surface index j along axis -2.
+    Tie cells (value == query) land on either side depending on the sort's
+    arbitrary tie order; every caller here evaluates  S1 - query*S0,  in
+    which a tied entry contributes  w1 - query*w0 = (value - query)*w  = 0,
+    so the ambiguity cancels EXACTLY.
 
-    ``weight`` is the composed integration weight W(y, x); the default
-    reproduces the reference's wei*dA with wei = dA/max(dA)
-    (core.py:723-724, 789).  Pass wei*dy (the meridional line element) for the
-    physically-united m/s form the reference's commented-out metric intends
-    (core.py:787-788, SURVEY.md §0.2).
+    Built from two co-sorts and static slices only: TPU gathers along the
+    sorted axis cost ~20x more than the sorts themselves (measured: 62 ms
+    take_along_axis vs 0.2-1 ms lax.sort at (32, 512, 256) f32), and
+    jnp.searchsorted is as bad (53 ms) — so positions are never
+    materialized.  Merged cumsum trick: queries carry zero weight, so after
+    one merged sort the inclusive prefix sum AT each query slot is its CDF;
+    a second sort on a position key (queries first, in caller order) brings
+    them home, and a static slice extracts them.
     """
-    part = part.lower()
+    n = values.shape[-1]
+    m = queries.shape[-1]
+    shape_n = values.shape[:-1] + (n,)
+    shape_m = queries.shape[:-1] + (m,)
+    i32 = jnp.int32
+    key = jnp.concatenate([values, queries], axis=-1)
+    # position key: queries get 0..m-1 (sort-2 brings them first, in order),
+    # values m..m+n-1
+    k2 = jnp.concatenate([
+        jnp.broadcast_to(jnp.arange(m, m + n, dtype=i32), shape_n),
+        jnp.broadcast_to(jnp.arange(m, dtype=i32), shape_m)], axis=-1)
+    z = jnp.zeros(shape_m, values.dtype)
+    w0c = jnp.concatenate([w0, z], axis=-1)
+    w1c = jnp.concatenate([w1, z], axis=-1)
+    _, k2s, w0s, w1s = jax.lax.sort((key, k2, w0c, w1c),
+                                    dimension=key.ndim - 1, num_keys=1)
+    P0 = jnp.cumsum(w0s, axis=-1)
+    P1 = jnp.cumsum(w1s, axis=-1)
+    _, S0, S1 = jax.lax.sort((k2s, P0, P1), dimension=key.ndim - 1,
+                             num_keys=1)
+    return S0[..., :m], S1[..., :m]
+
+
+def _lwa_fast(q, Q, W, *, increase: bool):
+    """part='all' LWA via the mask linearization (module docstring).
+
+    q (B, Ny, Nx); Q (B, Ny); W (Ny, Nx).  Returns (B, Ny, Nx), equal to the
+    pairwise form up to float summation order.
+    """
+    B, Ny, Nx = q.shape
+    Wb = jnp.broadcast_to(W, q.shape)
+    valid = jnp.isfinite(q) & jnp.isfinite(Wb)
+    validQ = jnp.isfinite(Q)
+    # center by the profile midpoint: the mask depends only on sign(q - Q_j),
+    # so a common shift is exact — and it kills the large-term cancellation
+    # between the suffix/CDF/total pieces in float32
+    c0 = jnp.nanmean(Q, axis=-1, keepdims=True)
+    c0 = jnp.where(jnp.isfinite(c0), c0, 0.0)
+    qc = q - c0[..., None]
+    Qc = jnp.where(validQ, Q - c0, 0.0)
+
+    wq = jnp.where(valid, Wb, 0.0)
+    qwq = jnp.where(valid, qc * Wb, 0.0)
+    # t-term: suffix sums along the equivalent dim (in index space the mask
+    # row-condition is a suffix for BOTH coordinate directions)
+    sfxW = jax.lax.cumsum(wq, axis=1, reverse=True)
+    sfxQW = jax.lax.cumsum(qwq, axis=1, reverse=True)
+    T0, T1 = sfxW[:, :1], sfxQW[:, :1]
+
+    # c-term: per-column weighted CDF of the tracer at the profile values;
+    # invalid cells sort to +inf with zero weight
+    vals = jnp.where(valid, qc, jnp.inf).transpose(0, 2, 1)     # (B, Nx, Ny)
+    S0, S1 = _cdf_at(vals, wq.transpose(0, 2, 1), qwq.transpose(0, 2, 1),
+                     jnp.broadcast_to(Qc[:, None, :], (B, Nx, Ny)))
+    S0 = S0.transpose(0, 2, 1)
+    S1 = S1.transpose(0, 2, 1)
+    # increase: c = [qe < 0] -> mass strictly below Q_j; else c = [qe > 0]
+    # -> complement (tie terms cancel in S1 - Q_j*S0 either way)
+    if not increase:
+        S0 = T0 - S0
+        S1 = T1 - S1
+
+    Qj = Qc[..., None]
+    out = -((sfxQW - Qj * sfxW) + (S1 - Qj * S0) - (T1 - Qj * T0))
+    # NaN profile values: qe is NaN everywhere -> mask 0 -> the reference row
+    # integrates to zero
+    return jnp.where(validQ[..., None], out, 0.0)
+
+
+def _lwa2_fast(q, Q, W, *, increase: bool):
+    """part='all' variant-2 LWA (impulse-Casimir): qe = q_j(x) - Q(y').
+
+    Here the CDF runs over the PROFILE values (shared across columns), so no
+    per-column sort is needed — rows are re-ordered once by Q per batch
+    element.  The mask flip (core.py:860-872) maps to: c = [Q > q_j] for
+    increase=True, c = [Q < q_j] for increase=False.
+    """
+    B, Ny, Nx = q.shape
+    validQ = jnp.isfinite(Q)                                    # (B, Ny)
+    v = validQ[..., None] & jnp.isfinite(W)[None]
+    c0 = jnp.nanmean(Q, axis=-1, keepdims=True)
+    c0 = jnp.where(jnp.isfinite(c0), c0, 0.0)
+    qc = q - c0[..., None]
+    Qc = jnp.where(validQ, Q - c0, 0.0)
+
+    wq = jnp.where(v, jnp.broadcast_to(W, q.shape), 0.0)
+    qwq = Qc[..., None] * wq
+    sfxW = jax.lax.cumsum(wq, axis=1, reverse=True)
+    sfxQW = jax.lax.cumsum(qwq, axis=1, reverse=True)
+    T0, T1 = sfxW[:, :1], sfxQW[:, :1]
+
+    # c-term: per-column CDF of the PROFILE rows, evaluated at every tracer
+    # cell.  Invalid profile rows sort to +inf with zero weight; NaN tracer
+    # queries sort last and their rows are zeroed at the end.
+    keyQ = jnp.where(validQ, Qc, jnp.inf)                       # (B, Ny)
+    vals = jnp.broadcast_to(keyQ[:, None, :], (B, Nx, Ny))
+    S0, S1 = _cdf_at(vals, wq.transpose(0, 2, 1), qwq.transpose(0, 2, 1),
+                     qc.transpose(0, 2, 1))
+    S0 = S0.transpose(0, 2, 1)                                  # (B, Ny, Nx)
+    S1 = S1.transpose(0, 2, 1)
+    # mask built with (not increase): for increase=True the +1 branch is
+    # (qe>0)&m, giving c = [Q < q_j] (mass below the cell value); for
+    # increase=False it is (qe<0)&m, giving c = [Q > q_j] (complement) —
+    # tie terms cancel in  q_j*S0 - S1  either way
+    if not increase:
+        S0 = T0 - S0
+        S1 = T1 - S1
+
+    out = -((qc * sfxW - sfxQW) + (qc * S0 - S1) - (qc * T0 - T1))
+    # NaN tracer at the surface point: qe is NaN for every y' -> zero row
+    return jnp.where(jnp.isfinite(q), out, 0.0)
+
+
+def _lwa_via_fast(q, Q, W, increase: bool, variant2: bool):
+    batch = q.shape[:-2]
+    Ny, Nx = q.shape[-2:]
+    qf = q.reshape((-1, Ny, Nx))
+    Qf = jnp.broadcast_to(Q, batch + (Ny,)).reshape((-1, Ny))
+    W = jnp.broadcast_to(W, (Ny, Nx))
+    fn = _lwa2_fast if variant2 else _lwa_fast
+    out = fn(qf, Qf, W, increase=increase)
+    return out.reshape(batch + (Ny, Nx))
+
+
+# Measured on v5e (bench hardware): the dense VMEM-resident Pallas kernel
+# runs at ~40-46% VPU peak, so despite doing O(Ny^2*Nx) work it beats the
+# O(Ny*Nx*log^2 Ny) sort/merge path until Ny ~ 1500 (XLA's bitonic sort costs
+# ~log^2 Ny passes; 2.3 ms dense vs 10.2 ms fast at 32x256x512, 9.9 vs 16.2 ms
+# at 4x721x1440).  The same ordering holds on CPU.  The linearized path is
+# the asymptotic winner for tall equivalent dims only.
+_FAST_NY_CROSSOVER = 1536
+
+
+def _resolve_method(method: str, part: str, ny: int) -> str:
+    """Pick the execution path at CALL time (outside any jit cache key).
+
+    'lin'   — linearized O(Ny^2) kernels at 4 ops/pair (Pallas on TPU, XLA
+              twin elsewhere); f32 noise floor ~5e-5 of the max (the R and E
+              terms cancel); part='all' only.
+    'dense' — pairwise 3-valued-mask kernels, reference summation order
+              (f32 ~1e-6); any part.
+    'fast'  — sort-merge O(Ny log Ny) XLA path; wins only for tall
+              equivalent dims (measured crossover Ny ~ 1500); part='all'.
+    'auto'  — 'dense' for part selections, 'fast' above the crossover,
+              'lin' otherwise.  config.set_lwa_fast(False) removes 'fast'
+              from auto selection."""
+    if method == "auto":
+        if part != "all":
+            return "dense"
+        from .. import config
+        if config.lwa_fast() and ny >= _FAST_NY_CROSSOVER:
+            return "fast"
+        return "lin"
+    if method in ("fast", "lin") and part != "all":
+        raise ValueError(f"method={method!r} only supports part='all' "
+                         "(W+/W- selections multiply the two indicators)")
+    return method
+
+
+@partial(jax.jit, static_argnames=("increase", "part", "chunk", "method"))
+def _lwa_impl(q, Q, dA, ydef, *, increase: bool, part: str, chunk: int,
+              weight, method: str):
     wei_dA = dA / jnp.nanmax(dA) * dA if weight is None else weight
+    if method == "fast":
+        return _lwa_via_fast(q, Q, wei_dA, increase, False)
+    if method == "lin":
+        if _pallas_ok(q):
+            return _lwa_via_pallas(q, Q, wei_dA, increase, part, False)
+        return _lwa_lin_xla(q, Q, wei_dA, increase, False, chunk)
     if _pallas_ok(q):
-        return _lwa_via_pallas(q, Q, wei_dA, increase, part, False)
+        return _lwa_via_pallas(q, Q, wei_dA, increase, part, False,
+                               pairwise=True)
     coord_incre = ydef[-1] > ydef[0]
 
     def one(j):
@@ -111,17 +363,19 @@ def local_wave_activity(q, Q, dA, ydef, *, increase: bool, part: str = "all",
     return jnp.moveaxis(lwa, 0, -2)
 
 
-@partial(jax.jit, static_argnames=("increase", "part", "chunk"))
-def local_wave_activity2(q, Q, dA, ydef, *, increase: bool, part: str = "all",
-                         chunk: int = 16, weight=None):
-    """Impulse-Casimir variant (core.py:802-905): qe = q_j - Q, mask branches
-    swapped (core.py:865-872) while part selection keys off the original
-    ``increase`` flag (core.py:879-890).  ``weight`` as in
-    :func:`local_wave_activity`."""
-    part = part.lower()
+@partial(jax.jit, static_argnames=("increase", "part", "chunk", "method"))
+def _lwa2_impl(q, Q, dA, ydef, *, increase: bool, part: str, chunk: int,
+               weight, method: str):
     wei_dA = dA / jnp.nanmax(dA) * dA if weight is None else weight
+    if method == "fast":
+        return _lwa_via_fast(q, Q, wei_dA, increase, True)
+    if method == "lin":
+        if _pallas_ok(q):
+            return _lwa_via_pallas(q, Q, wei_dA, increase, part, True)
+        return _lwa_lin_xla(q, Q, wei_dA, increase, True, chunk)
     if _pallas_ok(q):
-        return _lwa_via_pallas(q, Q, wei_dA, increase, part, True)
+        return _lwa_via_pallas(q, Q, wei_dA, increase, part, True,
+                               pairwise=True)
     coord_incre = ydef[-1] > ydef[0]
 
     def one(j):
@@ -134,6 +388,44 @@ def local_wave_activity2(q, Q, dA, ydef, *, increase: bool, part: str = "all",
 
     lwa = _chunked_over_surfaces(one, ydef.shape[0], chunk)
     return jnp.moveaxis(lwa, 0, -2)
+
+
+def local_wave_activity(q, Q, dA, ydef, *, increase: bool, part: str = "all",
+                        chunk: int = 16, weight=None, method: str = "auto"):
+    """LWA (Huang-Nakamura 2016), reference core.py:696-799.
+
+    q : (..., Ny, Nx) tracer;  Q : (..., Ny) sorted profile on ydef;
+    dA : (Ny, Nx) cell areas;  ydef : (Ny,).
+    Returns LWA (..., Ny, Nx): surface index j along axis -2.
+
+    ``weight`` is the composed integration weight W(y, x); the default
+    reproduces the reference's wei*dA with wei = dA/max(dA)
+    (core.py:723-724, 789).  Pass wei*dy (the meridional line element) for the
+    physically-united m/s form the reference's commented-out metric intends
+    (core.py:787-788, SURVEY.md §0.2).
+
+    ``method``: 'auto' (default), 'lin' (linearized 4-op kernels: ~2x the
+    dense speed, f32 noise floor ~5e-5 of the max), 'dense' (pairwise
+    3-valued mask, the reference's summation order, f32 ~1e-6), or 'fast'
+    (sort-merge O(Ny log Ny), for tall equivalent dims).  See
+    :func:`_resolve_method` for the auto policy.
+    """
+    part = part.lower()
+    method = _resolve_method(method, part, q.shape[-2])
+    return _lwa_impl(q, Q, dA, ydef, increase=increase, part=part,
+                     chunk=chunk, weight=weight, method=method)
+
+
+def local_wave_activity2(q, Q, dA, ydef, *, increase: bool, part: str = "all",
+                         chunk: int = 16, weight=None, method: str = "auto"):
+    """Impulse-Casimir variant (core.py:802-905): qe = q_j - Q, mask branches
+    swapped (core.py:865-872) while part selection keys off the original
+    ``increase`` flag (core.py:879-890).  ``weight``/``method`` as in
+    :func:`local_wave_activity`."""
+    part = part.lower()
+    method = _resolve_method(method, part, q.shape[-2])
+    return _lwa2_impl(q, Q, dA, ydef, increase=increase, part=part,
+                      chunk=chunk, weight=weight, method=method)
 
 
 def lwa_masks_at(q, Q, dA, ydef, mask_idx, *, increase: bool,

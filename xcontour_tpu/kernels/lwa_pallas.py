@@ -70,6 +70,78 @@ def _signed_term(qe, m, mask_inc: bool, part: str, part_inc: bool):
     return qe * _part_zero(_mask_value(qe, m, mask_inc), part, part_inc)
 
 
+def _kernel_lin(Qs_ref, q_ref, W_ref, E_ref, out_ref, *,
+                increase: bool, ny: int):
+    """part='all' via the exact mask linearization (diagnostics/lwa.py
+    docstring): mask = t + c - 1, so
+
+        LWA_j(x) = -( R_j(x) + E[j,x] )
+
+    with R_j = sum_y min(qe, 0)*W (increase; max for decreasing tracers) —
+    the c-term as ONE sub/extremum/multiply/accumulate per cell — and
+    E[j,x] = -sum_{y<j} (q - Q_j)*W the t-term, precomputed outside at
+    O(Ny*Nx) via a telescoping recurrence whose increments are
+    deviation-scaled (no eps*total cancellation in float32).  4 vector ops
+    per (surface, cell) pair vs 7 for the masked pairwise form.
+
+    The caller pre-sanitizes: NaN tracer cells arrive as +/-inf with W = 0
+    (so min/max clamps them to exactly zero contribution), and NaN rows of
+    the profile are zeroed here (reference: those surfaces integrate to 0).
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    q = q_ref[0]                      # (Ny, nxb), VMEM-resident across t
+    W = W_ref[...]
+
+    def body(jj, _):
+        j = t * _TJ + jj
+
+        @pl.when(j < ny)
+        def _():
+            Qj = Qs_ref[b, j]
+            qe = q - Qj
+            ext = jnp.minimum(qe, 0.0) if increase else jnp.maximum(qe, 0.0)
+            R = jnp.sum(ext * W, axis=0)
+            row = -(R + E_ref[0, jj, :])
+            out_ref[0, jj, :] = jnp.where(jnp.isnan(Qj), 0.0, row)
+        return 0
+
+    jax.lax.fori_loop(0, _TJ, body, 0, unroll=True)
+
+
+def _kernel_lin2(Qs_ref, q_ref, Qt_ref, W_ref, E_ref, out_ref, *,
+                 increase: bool, ny: int):
+    """Variant-2 (impulse-Casimir) linearized kernel: qe = q(y_j, x) - Q(y).
+
+        LWA2_j(x) = -( R_j(x) + E[j,x] ),
+        E[j,x] = -sum_{y<j} (q_j(x) - Q(y))*W(y,x)
+
+    with R_j = sum_y ext(q_j(x) - Q(y)) * W(y,x) — ext = max for
+    increase=True (the reference's flipped mask, core.py:860-872), min
+    otherwise.  E is precomputed outside by the same telescoping recurrence.
+    NaN tracer cells at the surface row make the whole output cell 0
+    (reference: their qe is NaN for every y)."""
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    W = W_ref[...]
+    Qcol = Qt_ref[0]                  # (Ny, 1): sanitized profile column
+
+    def body(jj, _):
+        j = t * _TJ + jj
+
+        @pl.when(j < ny)
+        def _():
+            qrow = q_ref[0, j, :]                     # (nxb,)
+            qe = qrow[None, :] - Qcol
+            ext = jnp.maximum(qe, 0.0) if increase else jnp.minimum(qe, 0.0)
+            R = jnp.sum(ext * W, axis=0)
+            row = -(R + E_ref[0, jj, :])
+            out_ref[0, jj, :] = jnp.where(jnp.isfinite(qrow), row, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, _TJ, body, 0, unroll=True)
+
+
 def _kernel(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, *, increase: bool,
             part: str, variant2: bool, ny: int):
     b = pl.program_id(0)
@@ -157,11 +229,145 @@ def _kernel_yblocked(Qs_ref, qy_ref, qj_ref, Qt_ref, W_ref, out_ref, *,
     jax.lax.fori_loop(0, _TJ, body, 0, unroll=True)
 
 
+def _choose_nxb(Ny: int, itemsize: int, Nx: int):
+    """X block: whole row set if it fits the VMEM budget, else 512-lane
+    panels (halved until they fit)."""
+    if Ny * Nx * itemsize <= _VMEM_BUDGET:
+        return Nx
+    nxb = 512
+    while Ny * nxb * itemsize > _VMEM_BUDGET and nxb > 128:
+        nxb //= 2
+    return nxb
+
+
+def _lwa_pallas_lin(q, Q, W, *, increase: bool, variant2: bool,
+                    interpret: bool):
+    """part='all' launcher for the linearized kernels: sanitize NaNs into
+    clamping sentinels, center by the profile midpoint (exact — the mask
+    depends only on sign(qe)), precompute the t-term E, pad, and dispatch.
+
+    E[j] = -sum_{y<j} qe*W is NOT computed as P1 - Q_j*P0 (differences of
+    total-scaled prefixes lose ~eps*total in f32, measured -32 absolute on
+    the bundled snapshot whose LWA max is 1.9e6); instead it satisfies the
+    exact telescoping recurrence
+
+        E[j+1] = E[j] + (Q~[j+1] - q~[j])*W[j] + (Q~[j+1] - Q~[j])*P0[j]
+
+    (and the analogous one with q_j in variant 2), whose increments are all
+    deviation-scaled, so the f32 cumsum error is O(eps * result).  The
+    telescoping makes E[j] exact for every valid row regardless of how NaN
+    entries of Q~/q~ were sanitized."""
+    B, Ny, Nx = q.shape
+    Wb = jnp.broadcast_to(W, (Ny, Nx))
+    validQ = jnp.isfinite(Q)
+    c0 = jnp.where(jnp.any(validQ, -1),
+                   jnp.nanmean(jnp.where(validQ, Q, jnp.nan), axis=-1), 0.0)
+    c0 = c0.astype(q.dtype)
+    qc = q - c0[:, None, None]
+    Qc = Q - c0[:, None]
+
+    Wz = jnp.where(jnp.isfinite(Wb), Wb, 0.0)
+    # sentinel sign: the c-term extremum must clamp invalid cells to zero
+    sent = jnp.asarray(jnp.inf if increase else -jnp.inf, q.dtype)
+    Qt = jnp.where(validQ, Qc, 0.0)                      # recurrence-safe
+    if variant2:
+        # reduction rows are profile rows; invalid ones clamp via the
+        # sentinel on Q (ext flips to max for increase=True)
+        Qs = jnp.where(validQ, Qc, sent)
+        Wv = jnp.where(validQ[:, :, None] & jnp.isfinite(Wb), Wb, 0.0)
+        P0 = jax.lax.cumsum(Wv, axis=1) - Wv             # exclusive
+        qt = jnp.where(jnp.isfinite(q), qc, 0.0)
+        # E = PQ1 - q_j*P0 (the t-term of qe = q_j - Q);
+        # E[j+1]-E[j] = (Q~[j]-q~[j+1])*W[j] - (q~[j+1]-q~[j])*P0[j]
+        inc = ((Qt[:, :-1, None] - qt[:, 1:]) * Wv[:, :-1]
+               - (qt[:, 1:] - qt[:, :-1]) * P0[:, :-1])
+        E = jnp.concatenate(
+            [jnp.zeros((B, 1, Nx), q.dtype), jnp.cumsum(inc, axis=1)], axis=1)
+        qk = qc  # NaN surface cells masked in-kernel via isfinite
+    else:
+        valid = jnp.isfinite(q) & jnp.isfinite(Wb)
+        qk = jnp.where(valid, qc, sent)
+        Wv = jnp.where(valid, Wb, 0.0)
+        qt = jnp.where(valid, qc, 0.0)
+        P0 = jax.lax.cumsum(Wv, axis=1) - Wv             # exclusive
+        # E[j+1]-E[j] = (Q~[j+1]-q~[j])*W[j] + (Q~[j+1]-Q~[j])*P0[j]
+        inc = ((Qt[:, 1:, None] - qt[:, :-1]) * Wv[:, :-1]
+               + (Qt[:, 1:] - Qt[:, :-1])[..., None] * P0[:, :-1])
+        E = jnp.concatenate(
+            [jnp.zeros((B, 1, Nx), q.dtype), jnp.cumsum(inc, axis=1)], axis=1)
+
+    nxb = _choose_nxb(Ny, q.dtype.itemsize, Nx)
+    pad_x = (-Nx) % nxb
+    if pad_x:
+        def padx(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full(a.shape[:-1] + (pad_x,), fill, a.dtype)],
+                axis=-1)
+        if variant2:
+            qk = padx(qk, jnp.nan)      # padded surface cells: masked rows
+        else:
+            qk = padx(qk, jnp.inf if increase else -jnp.inf)  # clamp to 0
+        Wz = padx(Wz, 0.0)
+        E = padx(E, 0.0)
+    Nxp = Nx + pad_x
+    ntj = pl.cdiv(Ny, _TJ)
+    pad_j = ntj * _TJ - Ny
+    if pad_j:
+        # E tiles are indexed by the surface grid dim: pad to tile multiple
+        E = jnp.concatenate(
+            [E, jnp.zeros((B, pad_j, Nxp), E.dtype)], axis=1)
+
+    n_xb = Nxp // nxb
+    if variant2:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_xb, ntj),
+            in_specs=[
+                pl.BlockSpec((1, Ny, nxb), lambda b, x, t, *_: (b, 0, x),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Ny, 1), lambda b, x, t, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Ny, nxb), lambda b, x, t, *_: (0, x),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _TJ, nxb), lambda b, x, t, *_: (b, t, x),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _TJ, nxb),
+                                   lambda b, x, t, *_: (b, t, x)),
+        )
+        out = pl.pallas_call(
+            partial(_kernel_lin2, increase=increase, ny=Ny),
+            out_shape=jax.ShapeDtypeStruct((B, ntj * _TJ, Nxp), q.dtype),
+            grid_spec=grid_spec, interpret=interpret,
+        )(Qc, qk, Qs[..., None], Wz, E)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_xb, ntj),
+            in_specs=[
+                pl.BlockSpec((1, Ny, nxb), lambda b, x, t, *_: (b, 0, x),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Ny, nxb), lambda b, x, t, *_: (0, x),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _TJ, nxb), lambda b, x, t, *_: (b, t, x),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _TJ, nxb),
+                                   lambda b, x, t, *_: (b, t, x)),
+        )
+        out = pl.pallas_call(
+            partial(_kernel_lin, increase=increase, ny=Ny),
+            out_shape=jax.ShapeDtypeStruct((B, ntj * _TJ, Nxp), q.dtype),
+            grid_spec=grid_spec, interpret=interpret,
+        )(Qc, qk, Wz, E)
+    return out[:, :Ny, :Nx]
+
+
 @partial(jax.jit, static_argnames=("increase", "part", "variant2", "tile_j",
-                                   "interpret"))
+                                   "interpret", "pairwise"))
 def lwa_pallas(q: jax.Array, Q: jax.Array, W: jax.Array, *, increase: bool,
                part: str = "all", variant2: bool = False, tile_j: int = 0,
-               interpret: bool = False) -> jax.Array:
+               interpret: bool = False, pairwise: bool = False) -> jax.Array:
     """LWA on TPU via Pallas.
 
     q : (B, Ny, Nx) tracer;  Q : (B, Ny) sorted profile;  W : (Ny, Nx)
@@ -182,13 +388,15 @@ def lwa_pallas(q: jax.Array, Q: jax.Array, W: jax.Array, *, increase: bool,
         return _lwa_pallas_yblocked(q, Q, W, increase=increase, part=part,
                                     variant2=variant2, interpret=interpret)
 
-    # choose an x block: whole row set if it fits, else 512-lane panels
-    if Ny * Nx * q.dtype.itemsize <= _VMEM_BUDGET:
-        nxb = Nx
-    else:
-        nxb = 512
-        while Ny * nxb * q.dtype.itemsize > _VMEM_BUDGET and nxb > 128:
-            nxb //= 2
+    if part.lower() == "all" and not pairwise:
+        # the linearized kernels do the same job in 4 vector ops per
+        # (surface, cell) pair instead of 7, at an f32 noise floor of
+        # ~5e-5 of the max (R and E cancel); pairwise=True keeps the
+        # reference's direct masked summation (~1e-6)
+        return _lwa_pallas_lin(q, Q, W, increase=increase, variant2=variant2,
+                               interpret=interpret)
+
+    nxb = _choose_nxb(Ny, q.dtype.itemsize, Nx)
     pad_x = (-Nx) % nxb
     if pad_x:
         q = jnp.concatenate(

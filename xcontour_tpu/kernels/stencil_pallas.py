@@ -47,8 +47,10 @@ def _kernel(q_ref, dx_ref, dy_ref, out_ref, *, periodic_x: bool, bc_y: str):
     else:  # reflect: zero wall-normal derivative
         qy = jnp.where((iy == 0) | (iy == Ny - 1), 0.0, qy)
 
-    gx = qx / dx_ref[...]
-    gy = qy / dy_ref[...]
+    # operands arrive as reciprocals: VPU divides cost several passes of
+    # Newton refinement, multiplies are single ops
+    gx = qx * dx_ref[...]
+    gy = qy * dy_ref[...]
     out_ref[0] = gx * gx + gy * gy
 
 
@@ -59,7 +61,8 @@ def squared_gradient_pallas(q: jax.Array, dx: jax.Array, dy_col: jax.Array, *,
     """q: (B, Ny, Nx); dx: (Ny, Nx) physical x spacings; dy_col: (Ny, 1)
     physical y spacings.  Returns |grad q|^2 (B, Ny, Nx)."""
     B, Ny, Nx = q.shape
-    dy2d = jnp.broadcast_to(dy_col, (Ny, Nx))
+    dx = 1.0 / dx
+    dy2d = jnp.broadcast_to(1.0 / dy_col, (Ny, Nx))
     return pl.pallas_call(
         partial(_kernel, periodic_x=periodic_x, bc_y=bc_y),
         out_shape=jax.ShapeDtypeStruct((B, Ny, Nx), q.dtype),
