@@ -121,7 +121,7 @@ def _kernel_lin2(Qs_ref, q_ref, Qt_ref, W_ref, E_ref, out_ref, *,
     otherwise.  E is precomputed outside by the same telescoping recurrence.
     NaN tracer cells at the surface row make the whole output cell 0
     (reference: their qe is NaN for every y)."""
-    b = pl.program_id(0)
+    del Qs_ref  # prefetch operand; the sanitized column Qt_ref is used
     t = pl.program_id(2)
     W = W_ref[...]
     Qcol = Qt_ref[0]                  # (Ny, 1): sanitized profile column

@@ -39,7 +39,6 @@ def _interp_dense(x2, xf2, yf2, inc, extrapolate):
     exactly: side='right' index, zero-width intervals return the right
     endpoint, out-of-range clamps (or NaN for extrapolate='nan').
     """
-    Bp, M = x2.shape
     N = xf2.shape[-1]
     xfd = jnp.where(inc[:, None], xf2, xf2[:, ::-1])
     yfd = jnp.where(inc[:, None], yf2, yf2[:, ::-1])
