@@ -29,6 +29,8 @@ from .host.extract import find_contour, contour_length, contour_area  # noqa: F4
 from .metrics import (build_latlon_metrics, complete_mitgcm_metrics,  # noqa: F401
                       interp_cgrid, validate_boundary)
 from .utils.constants import Rearth as _REARTH
+from .utils.constants import Rearth, deg2m, g, omega  # noqa: F401 (reference
+# utils.py:19-30 module constants, overridable per-call like the reference)
 
 # reference dim-name autodetect lists (utils.py:34-39)
 dimXList = ["lon", "longitude", "LON", "LONGITUDE", "geolon", "GEOLON",
