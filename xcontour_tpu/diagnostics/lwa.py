@@ -251,8 +251,9 @@ def _lwa2_fast(q, Q, W, *, increase: bool):
 
     Here the CDF runs over the PROFILE values (shared across columns), so no
     per-column sort is needed — rows are re-ordered once by Q per batch
-    element.  The mask flip (core.py:860-872) maps to: c = [Q > q_j] for
-    increase=True, c = [Q < q_j] for increase=False.
+    element.  The mask flip (core.py:860-872) maps to: c = [Q < q_j] for
+    increase=True (the +1 branch is (qe>0)&m), c = [Q > q_j] for
+    increase=False.
     """
     B, Ny, Nx = q.shape
     validQ = jnp.isfinite(Q)                                    # (B, Ny)
