@@ -403,6 +403,26 @@ def workload_matrix(lat, lon, vor):
     out["year_pv_s"] = round(dt, 2)
     out["year_pv_sps"] = round(365 / dt, 1)
 
+    # isentropic Keff with PER-LEVEL contour bins (the 3-D atmosphere config,
+    # reference notebooks/1.Keff_atmos.ipynb cells 0-4) — the case the
+    # reference's xhistogram engine cannot bin per level (core.py:1259-1294)
+    # and must route through the memory-hungry broadcast path; here the bins
+    # are a vmapped batch axis
+    pv, latP = workload_pv_fixture()
+    gridP = G.from_latlon(latP, np.arange(0, 360, 360 / pv.shape[-1]),
+                          dtype=jnp.float32)
+    trP = jnp.asarray(pv, jnp.float32)
+
+    def depP(t):
+        o = keff_lwa_pipeline(t, gridP, N=121, increase=True, lt=True,
+                              lmin="analytic")
+        # the dependency must consume EVERY output family or XLA dead-code
+        # eliminates the stage (an lwa-free dep once measured 37k "snap/s")
+        return (o["lwa"] + o["nkeff"].sum(-1)[:, None, None]
+                + o["Yeq"].sum(-1)[:, None, None])
+    per = _kernel_time(depP, trP, inner_lo=1, inner_hi=5, reps=6)
+    out["keff_atmos_3d_perlevel_sps"] = round(pv.shape[0] / per, 1)
+
     # contour lengths at the two reference contour counts.  These are
     # sub-millisecond per call, so the plain outer slope drowns in the
     # ~30 ms tunnel round-trip jitter (a contaminated run once rounded to
@@ -417,7 +437,8 @@ def workload_matrix(lat, lon, vor):
         def depC(t, n=n):
             o = clength_pipeline(t, grid, N=n, increase=True, lt=True)
             return (o["lengths"].sum(-1)[:, None, None]
-                    + o["cmGrd"].sum(-1)[:, None, None])
+                    + o["cmGrd"].sum(-1)[:, None, None]
+                    + o["Leq2"].sum(-1)[:, None, None])
         per = _kernel_time(depC, tr, inner_lo=1, inner_hi=5, reps=6)
         out[f"clength_N{n}_ms_per_snap"] = round(per / B * 1e3, 3)
 
@@ -442,6 +463,15 @@ def workload_matrix(lat, lon, vor):
     per = _kernel_time(depL, v32, inner_lo=1, inner_hi=5, reps=6)
     out["local_length_w101_s10_ms_per_snap"] = round(per * 1e3, 3)
     return out
+
+
+def workload_pv_fixture(nlev=16, nlat=256, nlon=512):
+    """Synthesized isentropic-PV stack (level, lat, lon) — the schema of the
+    reference's missing Data/PV.nc blob (SURVEY.md §2.3)."""
+    from xcontour_tpu.utils import synth
+    variables, _ = synth.synth_pv(nlev=nlev, nlat=nlat, nlon=nlon)
+    return (np.asarray(variables["pv"], np.float32),
+            np.asarray(variables["latitude"], np.float64))
 
 
 class _LazyEra5Archive:
