@@ -78,3 +78,48 @@ def test_table_paths_agree(seed):
     want = tch if not decreasing_y else tch[::-1]
     np.testing.assert_allclose(th, want, rtol=1e-10,
                                err_msg=f"seed {seed} hist table")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_lwa_methods_agree(seed):
+    """All three LWA execution paths — pairwise ('dense'), linearized
+    ('lin'), and sort-merge ('fast') — agree on random fields, NaN
+    patterns, weights, flags, and coordinate directions, and match the
+    float64 oracle."""
+    from xcontour_tpu.diagnostics.lwa import (local_wave_activity,
+                                              local_wave_activity2)
+
+    rng = np.random.default_rng(2000 + seed)
+    Ny = int(rng.integers(8, 40))
+    Nx = int(rng.integers(8, 60))
+    increase = bool(rng.integers(0, 2))
+    coord_up = bool(rng.integers(0, 2))
+    variant2 = bool(rng.integers(0, 2))
+    with_nan = bool(rng.integers(0, 2))
+
+    q = rng.normal(size=(Ny, Nx)) * rng.uniform(0.1, 10)
+    if with_nan:
+        q[rng.uniform(size=q.shape) < 0.1] = np.nan
+    dA = rng.uniform(0.5, 2.0, size=(Ny, Nx))
+    Q = np.sort(rng.normal(size=Ny) * rng.uniform(0.1, 10))
+    if not increase:
+        Q = Q[::-1].copy()
+    ydef = np.linspace(-80, 80, Ny)
+    if not coord_up:
+        ydef = ydef[::-1].copy()
+
+    fn = local_wave_activity2 if variant2 else local_wave_activity
+    oracle = (compat.local_wave_activity2 if variant2
+              else compat.local_wave_activity)
+    want = oracle(q, Q, dA, ydef, increase=increase, part="all")
+    outs = {}
+    for method in ("dense", "lin", "fast"):
+        outs[method] = np.asarray(fn(jnp.asarray(q), jnp.asarray(Q),
+                                     jnp.asarray(dA), jnp.asarray(ydef),
+                                     increase=increase, method=method))
+    scale = max(np.nanmax(np.abs(want)), 1.0)
+    for method, got in outs.items():
+        np.testing.assert_allclose(
+            got, want, rtol=1e-8, atol=1e-9 * scale,
+            err_msg=f"method={method} seed={seed} inc={increase} "
+                    f"up={coord_up} v2={variant2} nan={with_nan}")
