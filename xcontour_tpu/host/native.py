@@ -24,6 +24,11 @@ _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_libmarching.so"
 
 
 def _build() -> Optional[str]:
+    # installed layouts may ship only the prebuilt .so (or neither): a
+    # missing source must mean "use what exists", never an exception — the
+    # callers fall back to the pure-NumPy traversal when this returns None
+    if not os.path.exists(_SRC):
+        return _SO if os.path.exists(_SO) else None
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
     try:
