@@ -98,11 +98,13 @@ def keff_pipeline(tracer: jax.Array, grid: Grid, grdS: Optional[jax.Array] = Non
     return out
 
 
-@partial(jax.jit, static_argnames=("N", "increase", "lt", "part", "metric"))
+@partial(jax.jit, static_argnames=("N", "increase", "lt", "part", "metric",
+                                   "lwa_method"))
 def lwa_pipeline(tracer: jax.Array, grid: Grid,
                  mask: Optional[jax.Array] = None, *, N: int = 121,
                  increase: bool = True, lt: bool = True,
-                 part: str = "all", metric: str = "dA") -> dict:
+                 part: str = "all", metric: str = "dA",
+                 lwa_method: str = "auto") -> dict:
     """Sorted-state + local wave activity chain (tests/test_LWA.py:48-87):
     contours -> areas -> latEq -> sorted profile Q on the grid latitudes ->
     LWA and the impulse-Casimir variant.
@@ -111,6 +113,9 @@ def lwa_pipeline(tracer: jax.Array, grid: Grid,
              (core.py:723-724, 789);
              'dy' — wei*dyF, the physically-united (m/s) form the reference's
              commented-out grid metric intends (core.py:787-788).
+    lwa_method : LWA execution path ('auto'|'lin'|'dense'|'fast', see
+             diagnostics.lwa.local_wave_activity) — 'dense' keeps the
+             reference's exact summation order in float32.
     """
     ydef = grid.ydef.astype(tracer.dtype)
     dA = grid.dA.astype(tracer.dtype)
@@ -133,23 +138,25 @@ def lwa_pipeline(tracer: jax.Array, grid: Grid,
     Q = core.interp_to_coords(ydef, latEq, ctr)
 
     lwa = _lwa.local_wave_activity(tracer, Q, dA, ydef,
-                                   increase=increase, part=part, weight=weight)
+                                   increase=increase, part=part, weight=weight,
+                                   method=lwa_method)
     lwa2 = _lwa.local_wave_activity2(tracer, Q, dA, ydef,
                                      increase=increase, part=part,
-                                     weight=weight)
+                                     weight=weight, method=lwa_method)
     return dict(contour=ctr, intArea=intArea, latEq=latEq, Q=Q,
                 lwa=lwa, lwa2=lwa2)
 
 
 @partial(jax.jit, static_argnames=("N", "increase", "lt", "lmin", "metric",
-                                   "with_lwa2"))
+                                   "with_lwa2", "lwa_method"))
 def keff_lwa_pipeline(tracer: jax.Array, grid: Grid,
                       grdS: Optional[jax.Array] = None,
                       mask: Optional[jax.Array] = None,
                       pre_y: Optional[jax.Array] = None, *, N: int = 121,
                       increase: bool = True, lt: bool = True,
                       lmin: str = "analytic", metric: str = "dA",
-                      with_lwa2: bool = False) -> dict:
+                      with_lwa2: bool = False,
+                      lwa_method: str = "auto") -> dict:
     """The flagship combined step: full Keff chain + LWA from one shared
     sorted state (table, contours, areas computed once).  This is the
     BASELINE.json north-star workload — Keff + LWA over batches of global PV
@@ -184,13 +191,15 @@ def keff_lwa_pipeline(tracer: jax.Array, grid: Grid,
     weight = (dA / jnp.nanmax(dA) * grid.dyF.astype(tracer.dtype)
               if metric == "dy" else None)
     lwa = _lwa.local_wave_activity(tracer, Q, dA, ydef, increase=increase,
-                                   part="all", weight=weight)
+                                   part="all", weight=weight,
+                                   method=lwa_method)
     out = dict(contour=ctr, intArea=intArea, intgrdS=intgrdS, Yeq=Yeq,
                Lmin=Lmin, Leq2=Leq2, nkeff=nkeff, Q=Q, lwa=lwa)
     if with_lwa2:
         out["lwa2"] = _lwa.local_wave_activity2(tracer, Q, dA, ydef,
                                                 increase=increase, part="all",
-                                                weight=weight)
+                                                weight=weight,
+                                                method=lwa_method)
     if pre_y is not None:
         pre_y = pre_y.astype(tracer.dtype)
         for k in ("Leq2", "nkeff", "Lmin"):
