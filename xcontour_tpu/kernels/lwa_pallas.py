@@ -150,7 +150,7 @@ def _kernel_lin(Qs_ref, q_ref, W_ref, Qc_ref, out_ref, E_ref, qk_ref, Wv_ref,
     jax.lax.fori_loop(0, _TJ, body, 0, unroll=True)
 
 
-def _kernel_lin2(Qs_ref, q_ref, Qt_ref, W_ref, E_ref, out_ref, *,
+def _kernel_lin2(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, E_ref, Wv_ref, *,
                  increase: bool, ny: int):
     """Variant-2 (impulse-Casimir) linearized kernel: qe = q(y_j, x) - Q(y).
 
@@ -159,13 +159,38 @@ def _kernel_lin2(Qs_ref, q_ref, Qt_ref, W_ref, E_ref, out_ref, *,
 
     with R_j = sum_y ext(q_j(x) - Q(y)) * W(y,x) — ext = max for
     increase=True (the reference's flipped mask, core.py:860-872), min
-    otherwise.  E is precomputed outside by the same telescoping recurrence.
-    NaN tracer cells at the surface row make the whole output cell 0
+    otherwise.  Like the v1 kernel, E is built in VMEM scratch at t == 0 of
+    each (batch, x-block) via the telescoping recurrence
+
+        E[j+1] = E[j] + (Q~[j] - q~[j+1])*W[j] - (q~[j+1] - q~[j])*P0[j]
+
+    (deviation-scaled increments; exact for valid rows regardless of NaN
+    sanitization).  Invalid profile rows arrive as +/-inf sentinels in
+    Qt_ref — the extremum clamps them to zero against the zeroed weights —
+    and NaN tracer cells at the surface row zero the whole output cell
     (reference: their qe is NaN for every y)."""
     del Qs_ref  # prefetch operand; the sanitized column Qt_ref is used
     t = pl.program_id(2)
-    W = W_ref[...]
-    Qcol = Qt_ref[0]                  # (Ny, 1): sanitized profile column
+    Qcol = Qt_ref[0]                  # (Ny, 1): sentinel profile column
+
+    @pl.when(t == 0)
+    def _():
+        qr = q_ref[0]
+        Wr = W_ref[...]
+        validQ = jnp.isfinite(Qcol)
+        Wv = jnp.where(validQ & ~jnp.isnan(Wr), Wr, 0.0)
+        Wv_ref[...] = Wv
+        qt = jnp.where(jnp.isnan(qr), 0.0, qr)
+        Qt = jnp.where(validQ, Qcol, 0.0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (qr.shape[0], 1), 0)
+        Wprev = jnp.where(iota >= 1, pltpu.roll(Wv, 1, 0), 0.0)
+        P0 = _cumsum_tree(Wprev, iota)      # P0[j] = sum_{y<j} Wv
+        qprev = jnp.where(iota >= 1, pltpu.roll(qt, 1, 0), 0.0)
+        Qprev = jnp.where(iota >= 1, pltpu.roll(Qt, 1, 0), 0.0)
+        inc = ((Qprev - qt) * Wprev
+               - (qt - qprev) * (P0 - Wprev))  # P0 - Wprev = P0[j-1]
+        inc = jnp.where(iota >= 1, inc, 0.0)
+        E_ref[...] = _cumsum_tree(inc, iota)
 
     def body(jj, _):
         j = t * _TJ + jj
@@ -175,8 +200,8 @@ def _kernel_lin2(Qs_ref, q_ref, Qt_ref, W_ref, E_ref, out_ref, *,
             qrow = q_ref[0, j, :]                     # (nxb,)
             qe = qrow[None, :] - Qcol
             ext = jnp.maximum(qe, 0.0) if increase else jnp.minimum(qe, 0.0)
-            R = jnp.sum(ext * W, axis=0)
-            row = -(R + E_ref[0, jj, :])
+            R = jnp.sum(ext * Wv_ref[...], axis=0)
+            row = -(R + E_ref[jj + t * _TJ, :])
             out_ref[0, jj, :] = jnp.where(jnp.isfinite(qrow), row, 0.0)
         return 0
 
@@ -283,21 +308,11 @@ def _choose_nxb(Ny: int, itemsize: int, Nx: int):
 
 def _lwa_pallas_lin(q, Q, W, *, increase: bool, variant2: bool,
                     interpret: bool):
-    """part='all' launcher for the linearized kernels: sanitize NaNs into
-    clamping sentinels, center by the profile midpoint (exact — the mask
-    depends only on sign(qe)), precompute the t-term E, pad, and dispatch.
-
-    E[j] = -sum_{y<j} qe*W is NOT computed as P1 - Q_j*P0 (differences of
-    total-scaled prefixes lose ~eps*total in f32, measured -32 absolute on
-    the bundled snapshot whose LWA max is 1.9e6); instead it satisfies the
-    exact telescoping recurrence
-
-        E[j+1] = E[j] + (Q~[j+1] - q~[j])*W[j] + (Q~[j+1] - Q~[j])*P0[j]
-
-    (and the analogous one with q_j in variant 2), whose increments are all
-    deviation-scaled, so the f32 cumsum error is O(eps * result).  The
-    telescoping makes E[j] exact for every valid row regardless of how NaN
-    entries of Q~/q~ were sanitized."""
+    """part='all' launcher for the linearized kernels: center by the
+    profile midpoint (exact — the mask depends only on sign(qe)), pad, and
+    dispatch.  NaN sanitization and the t-term E prefix happen inside the
+    kernels at t == 0 of each (batch, x-block); see _kernel_lin[2] for the
+    telescoping recurrences and their f32 rationale."""
     B, Ny, Nx = q.shape
     Wb = jnp.broadcast_to(W, (Ny, Nx))
     validQ = jnp.isfinite(Q)
@@ -315,26 +330,11 @@ def _lwa_pallas_lin(q, Q, W, *, increase: bool, variant2: bool,
         # reduction rows are profile rows; invalid ones clamp via the
         # sentinel on Q (ext flips to max for increase=True)
         Qs = jnp.where(validQ, Qc, sent)
-        Wv = jnp.where(validQ[:, :, None] & jnp.isfinite(Wb), Wb, 0.0)
-        P0 = jax.lax.cumsum(Wv, axis=1) - Wv             # exclusive
-        qt = jnp.where(jnp.isfinite(q), qc, 0.0)
-        # E = PQ1 - q_j*P0 (the t-term of qe = q_j - Q);
-        # E[j+1]-E[j] = (Q~[j]-q~[j+1])*W[j] - (q~[j+1]-q~[j])*P0[j]
-        inc = ((Qt[:, :-1, None] - qt[:, 1:]) * Wv[:, :-1]
-               - (qt[:, 1:] - qt[:, :-1]) * P0[:, :-1])
-        E = jnp.concatenate(
-            [jnp.zeros((B, 1, Nx), q.dtype), jnp.cumsum(inc, axis=1)], axis=1)
-        qk = qc  # NaN surface cells masked in-kernel via isfinite
-    else:
-        # v1 fuses sanitization and E into the kernel (t == 0 prep); only
-        # the centered tracer, raw weights, and the recurrence-safe profile
-        # column cross HBM
-        qk = qc
-        E = None
+    qk = qc  # NaN cells are sanitized in-kernel (v1) / row-masked (v2)
 
-    # the fused v1 kernel holds three (Ny, nxb) scratches plus the prep
-    # temporaries, so halve its block budget relative to the pairwise form
-    nxb = _choose_nxb(Ny, q.dtype.itemsize * (1 if variant2 else 2), Nx)
+    # both fused kernels hold (Ny, nxb) scratches plus the t == 0 prep
+    # temporaries, so halve the block budget relative to the pairwise form
+    nxb = _choose_nxb(Ny, q.dtype.itemsize * 2, Nx)
     pad_x = (-Nx) % nxb
     if pad_x:
         def padx(a, fill):
@@ -343,16 +343,8 @@ def _lwa_pallas_lin(q, Q, W, *, increase: bool, variant2: bool,
                 axis=-1)
         qk = padx(qk, jnp.nan)          # padded cells: invalid either way
         Wz = padx(Wz, 0.0)
-        if variant2:
-            E = padx(E, 0.0)
     Nxp = Nx + pad_x
     ntj = pl.cdiv(Ny, _TJ)
-    pad_j = ntj * _TJ - Ny
-    if pad_j and variant2:
-        # E tiles are indexed by the surface grid dim: pad to tile multiple
-        E = jnp.concatenate(
-            [E, jnp.zeros((B, pad_j, Nxp), E.dtype)], axis=1)
-
     n_xb = Nxp // nxb
     if variant2:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -365,17 +357,16 @@ def _lwa_pallas_lin(q, Q, W, *, increase: bool, variant2: bool,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Ny, nxb), lambda b, x, t, *_: (0, x),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _TJ, nxb), lambda b, x, t, *_: (b, t, x),
-                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, _TJ, nxb),
                                    lambda b, x, t, *_: (b, t, x)),
+            scratch_shapes=[pltpu.VMEM((Ny, nxb), q.dtype)] * 2,
         )
         out = pl.pallas_call(
             partial(_kernel_lin2, increase=increase, ny=Ny),
             out_shape=jax.ShapeDtypeStruct((B, ntj * _TJ, Nxp), q.dtype),
             grid_spec=grid_spec, interpret=interpret,
-        )(Qc, qk, Qs[..., None], Wz, E)
+        )(Qc, qk, Qs[..., None], Wz)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
