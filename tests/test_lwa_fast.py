@@ -69,6 +69,23 @@ def test_fast_nan_profile_rows_are_zero(rng, variant2):
         assert (got[[0, 7]] == 0).all()
 
 
+@pytest.mark.parametrize("pairwise", [False, True])
+def test_pallas_nan_profile_rows_are_zero(rng, pairwise):
+    """NaN profile rows integrate to 0 in BOTH Pallas kernel families —
+    the reference's nansum drops the all-NaN qe products (the pairwise
+    kernel once leaked the NaN into its row sums)."""
+    from xcontour_tpu.kernels.lwa_pallas import lwa_pallas
+    B, Ny, Nx = 2, 16, 128
+    q = jnp.asarray(rng.standard_normal((B, Ny, Nx)), jnp.float32)
+    W = jnp.asarray(rng.uniform(0.5, 1.5, (Ny, Nx)), jnp.float32)
+    Q = jnp.sort(jnp.asarray(rng.standard_normal((B, Ny)), jnp.float32), -1)
+    Q = Q.at[0, 3].set(jnp.nan).at[1, 0].set(jnp.nan)
+    out = np.asarray(lwa_pallas(q, Q, W, increase=True, pairwise=pairwise,
+                                interpret=True))
+    assert (out[0, 3] == 0).all() and (out[1, 0] == 0).all()
+    assert np.isfinite(out).all()
+
+
 @pytest.mark.parametrize("variant2", [False, True])
 def test_fast_batched_matches_loop(rng, variant2):
     B, Ny, Nx = 3, 16, 7

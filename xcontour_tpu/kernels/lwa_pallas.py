@@ -235,7 +235,9 @@ def _kernel(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, *, increase: bool,
             else:
                 Qj = Qs_ref[b, j]                       # SMEM scalar
                 qe = q - Qj
-                nan = qnan
+                # NaN profile rows integrate to zero (reference nansum:
+                # qe is NaN everywhere so every product is dropped)
+                nan = qnan | jnp.isnan(Qj)
                 signed = _signed_term(qe, m, increase, part, increase)
             term = jnp.where(nan, 0.0, signed * W)
             out_ref[0, jj, :] = -jnp.sum(term, axis=0)
@@ -286,7 +288,8 @@ def _kernel_yblocked(Qs_ref, qy_ref, qj_ref, Qt_ref, W_ref, out_ref, *,
             else:
                 Qj = Qs_ref[b, j]
                 qe = qy - Qj
-                nan = qnan
+                # NaN profile rows integrate to zero (reference nansum)
+                nan = qnan | jnp.isnan(Qj)
                 signed = _signed_term(qe, m, increase, part, increase)
             term = jnp.where(nan | ~valid_row, 0.0, signed * W)
             out_ref[0, jj, :] += -jnp.sum(term, axis=0)
