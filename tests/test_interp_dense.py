@@ -96,3 +96,31 @@ def test_large_table_falls_back_to_searchsorted(rng):
     x = rng.standard_normal((1, 64))
     got = np.asarray(interp1d(jnp.asarray(x), jnp.asarray(xf), jnp.asarray(yf)))
     np.testing.assert_allclose(got, _np_ref(x, xf, yf), rtol=1e-12, atol=1e-12)
+
+
+def test_nan_query_against_degenerate_table():
+    """A NaN query returns NaN even when every table interval is zero-width
+    (a constant tracer's contour levels): the dx==0 endpoint select must not
+    swallow the NaN (ADVICE r2)."""
+    xf = jnp.full((1, 8), 3.0)
+    yf = jnp.arange(8.0)[None]
+    x = jnp.asarray([[np.nan, 3.0, 2.0]])
+    got = np.asarray(interp1d(x, xf, yf))
+    assert np.isnan(got[0, 0])
+    assert np.isfinite(got[0, 1:]).all()
+
+
+def test_huge_query_axis_avoids_dense_blowup(rng):
+    """Gate on the full element product, not table size alone: a big query
+    axis against a near-cap table must route to the O(M log N)-memory
+    binary-search path and still match np.interp."""
+    from xcontour_tpu.ops.interp import _DENSE_ELEMS_MAX
+    N = 2048
+    M = _DENSE_ELEMS_MAX // N + 17          # just over the product budget
+    xf = np.sort(rng.standard_normal((1, N)), -1)
+    yf = rng.standard_normal((1, N))
+    x = rng.standard_normal((1, M))
+    got = np.asarray(interp1d(jnp.asarray(x), jnp.asarray(xf),
+                              jnp.asarray(yf)))
+    np.testing.assert_allclose(got, _np_ref(x, xf, yf), rtol=1e-12,
+                               atol=1e-12)

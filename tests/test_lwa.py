@@ -187,3 +187,14 @@ def test_sorted_state_conserves_tracer_integral(lwa_case):
     # global vorticity integrates to ~0, so normalize by the L1 integral
     scale = np.nansum(np.abs(vor) * dA)
     assert abs(total_Q - total_q) / scale < 2e-2
+
+
+def test_unknown_method_raises():
+    """Typos like method='Lin' must not silently fall through to a different
+    execution path (ADVICE r2)."""
+    import pytest
+    from xcontour_tpu.diagnostics.lwa import _resolve_method
+    for bad in ("Lin", "linn", "pairwise", ""):
+        with pytest.raises(ValueError):
+            _resolve_method(bad, "all", 256)
+    assert _resolve_method("dense", "upper", 256) == "dense"

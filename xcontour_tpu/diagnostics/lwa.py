@@ -74,7 +74,7 @@ def _pallas_ok(q) -> bool:
 
 
 def _lwa_via_pallas(q, Q, W, increase: bool, part: str, variant2: bool,
-                    pairwise: bool = False):
+                    pairwise: bool = True):
     from ..kernels.lwa_pallas import lwa_pallas
     batch = q.shape[:-2]
     Ny, Nx = q.shape[-2:]
@@ -324,6 +324,9 @@ def _resolve_method(method: str, part: str, ny: int) -> str:
     'auto'  — 'dense' for part selections, 'fast' above the crossover,
               'lin' otherwise.  config.set_lwa_fast(False) removes 'fast'
               from auto selection."""
+    if method not in ("auto", "lin", "dense", "fast"):
+        raise ValueError(f"method={method!r} not in "
+                         "['auto', 'lin', 'dense', 'fast']")
     if method == "auto":
         if part != "all":
             return "dense"
@@ -345,7 +348,8 @@ def _lwa_impl(q, Q, dA, ydef, *, increase: bool, part: str, chunk: int,
         return _lwa_via_fast(q, Q, wei_dA, increase, False)
     if method == "lin":
         if _pallas_ok(q):
-            return _lwa_via_pallas(q, Q, wei_dA, increase, part, False)
+            return _lwa_via_pallas(q, Q, wei_dA, increase, part, False,
+                                   pairwise=False)
         return _lwa_lin_xla(q, Q, wei_dA, increase, False, chunk)
     if _pallas_ok(q):
         return _lwa_via_pallas(q, Q, wei_dA, increase, part, False,
@@ -372,7 +376,8 @@ def _lwa2_impl(q, Q, dA, ydef, *, increase: bool, part: str, chunk: int,
         return _lwa_via_fast(q, Q, wei_dA, increase, True)
     if method == "lin":
         if _pallas_ok(q):
-            return _lwa_via_pallas(q, Q, wei_dA, increase, part, True)
+            return _lwa_via_pallas(q, Q, wei_dA, increase, part, True,
+                                   pairwise=False)
         return _lwa_lin_xla(q, Q, wei_dA, increase, True, chunk)
     if _pallas_ok(q):
         return _lwa_via_pallas(q, Q, wei_dA, increase, part, True,

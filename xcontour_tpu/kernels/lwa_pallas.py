@@ -398,13 +398,20 @@ def _lwa_pallas_lin(q, Q, W, *, increase: bool, variant2: bool,
                                    "interpret", "pairwise"))
 def lwa_pallas(q: jax.Array, Q: jax.Array, W: jax.Array, *, increase: bool,
                part: str = "all", variant2: bool = False, tile_j: int = 0,
-               interpret: bool = False, pairwise: bool = False) -> jax.Array:
+               interpret: bool = False, pairwise: bool = True) -> jax.Array:
     """LWA on TPU via Pallas.
 
     q : (B, Ny, Nx) tracer;  Q : (B, Ny) sorted profile;  W : (Ny, Nx)
     composed weight (wei*dA or wei*dy).  Returns (B, Ny, Nx).
     (``tile_j`` is accepted for API stability; the surface tile is fixed at
     the f32 sublane width.)
+
+    ``pairwise=True`` (the default) keeps the reference's direct masked
+    summation order (f32 noise ~1e-6 of the max); ``pairwise=False`` routes
+    part='all' to the linearized 4-op kernels (~2x faster, f32 noise ~5e-5
+    of the max — the R and E terms cancel).  The diagnostics layer opts into
+    the linearized kernels via ``method='lin'``; this public entry point
+    stays reference-faithful by default.
 
     Grids whose (Ny, Nx) snapshot exceeds the VMEM budget are blocked along
     X — valid because every surface reduction is x-separable (the mask
@@ -420,10 +427,10 @@ def lwa_pallas(q: jax.Array, Q: jax.Array, W: jax.Array, *, increase: bool,
                                     variant2=variant2, interpret=interpret)
 
     if part.lower() == "all" and not pairwise:
-        # the linearized kernels do the same job in 4 vector ops per
+        # opt-in: the linearized kernels do the same job in 4 vector ops per
         # (surface, cell) pair instead of 7, at an f32 noise floor of
-        # ~5e-5 of the max (R and E cancel); pairwise=True keeps the
-        # reference's direct masked summation (~1e-6)
+        # ~5e-5 of the max (R and E cancel); the default pairwise=True is
+        # the reference's direct masked summation (~1e-6)
         return _lwa_pallas_lin(q, Q, W, increase=increase, variant2=variant2,
                                interpret=interpret)
 

@@ -26,6 +26,11 @@ def _interp_single(x, xf, yf, inc, extrapolate):
 # binary search; every table in the diagnostics (contour counts 121-401,
 # grid rows <= a few thousand) sits far below it.
 _DENSE_N_MAX = 4096
+# The dense form materializes several (B, M, N) temporaries; cap their total
+# element count (~64 MB of f32 per temporary at this bound) so a huge query
+# axis against a near-cap table cannot allocate multi-GB intermediates where
+# the binary-search path is O(M log N) memory.
+_DENSE_ELEMS_MAX = 1 << 24
 
 
 def _interp_dense(x2, xf2, yf2, inc, extrapolate):
@@ -35,9 +40,12 @@ def _interp_dense(x2, xf2, yf2, inc, extrapolate):
     ~1 ms for (32, 256)-from-(32, 121) on v5e, dominating the pipeline's
     small-table lookups.  For small N the dense form (count xf <= x, then
     contract one-hot index masks against xf/yf) is pure VPU compare/FMA work
-    at O(M*N) and runs in ~30 us for the same shapes.  Matches np.interp
-    exactly: side='right' index, zero-width intervals return the right
-    endpoint, out-of-range clamps (or NaN for extrapolate='nan').
+    at O(M*N) and runs in ~30 us for the same shapes.  Matches np.interp:
+    side='right' index, zero-width intervals return the right endpoint,
+    out-of-range clamps (or NaN for extrapolate='nan').  One deliberate
+    deviation: a NaN query always returns NaN, even against a fully
+    degenerate (zero-width-everywhere) table where np.interp's arithmetic
+    happens to pick a finite endpoint.
     """
     N = xf2.shape[-1]
     xfd = jnp.where(inc[:, None], xf2, xf2[:, ::-1])
@@ -93,9 +101,13 @@ def interp1d(x: jax.Array, xf: jax.Array, yf: jax.Array,
     else:
         inc = jnp.broadcast_to(jnp.asarray(increasing), (x2.shape[0],))
 
-    if N <= _DENSE_N_MAX:
+    if N <= _DENSE_N_MAX and x2.shape[0] * M * N <= _DENSE_ELEMS_MAX:
         out = _interp_dense(x2, xf2, yf2, inc, extrapolate)
     else:
         out = jax.vmap(_interp_single, in_axes=(0, 0, 0, 0, None))(
             x2, xf2, yf2, inc, extrapolate)
+    # NaN queries stay NaN on every path: against a fully degenerate
+    # (zero-width) table the dx==0 endpoint select would otherwise pick a
+    # finite value before the NaN can propagate through the blend
+    out = jnp.where(jnp.isnan(x2), jnp.nan, out)
     return out.reshape(batch + (M,))
