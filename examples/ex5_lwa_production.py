@@ -35,14 +35,23 @@ def main():
     pv = np.stack([v["pv"][1] * (1 + 0.05 * np.sin(t / 2.0))
                    + 2e-6 * rng.standard_normal(v["pv"][1].shape)
                    for t in range(days)]).astype(np.float32)
-    # isentropic density weighting (sigma * q as the sorted tracer,
-    # reference tests/LWA.py:59-69); here sigma = 1 (areal variant)
-    grid = G.from_latlon(v["latitude"], v["longitude"])
-    perim = 2 * np.pi * Rearth * np.cos(np.deg2rad(v["latitude"]))
+    # isentropic-density weighting (reference tests/LWA.py:59-69): the sorted
+    # tracer is the COMPOSITION sigma*q with a NON-UNIT sigma ~ -dp/dtheta/g
+    # (density-like: heavier at low latitudes, kg m^-2 K^-1 scale); the area
+    # integral keeps integrand 1 (lwa_pipeline's intArea already integrates
+    # plain dA).  Parity with the f64 oracle is pinned in
+    # tests/test_sigma_production.py.
+    lat = v["latitude"]
+    sigma = (120.0 * (1.0 + 0.5 * np.cos(np.deg2rad(lat)) ** 2)
+             ).astype(np.float32)[:, None]                 # (lat, 1)
+    grid = G.from_latlon(lat, v["longitude"])
+    perim = 2 * np.pi * Rearth * np.cos(np.deg2rad(lat))
 
     def step(batch):
-        out = lwa_pipeline(batch, grid, N=91, increase=True, lt=True,
+        out = lwa_pipeline(batch * sigma, grid, N=91, increase=True, lt=True,
                            metric="dy")
+        # reference normalization: lwa / earth_circle_perimeter
+        # (tests/LWA.py:22,80)
         lwa_norm = out["lwa"] / jnp.asarray(perim, jnp.float32)[:, None]
         return {"lwa": out["lwa"], "lwa_norm": lwa_norm, "Q": out["Q"]}
 

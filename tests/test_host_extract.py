@@ -93,3 +93,38 @@ def test_breaking_chain_wraparound():
 def test_extraction_handles_all_nan():
     f = np.full((10, 10), np.nan)
     assert native.find_contours(f, 0.5) == []
+
+
+def test_legacy_contour_length_signature(vorticity):
+    """Older API generation (reference utils.py:565-609, called by
+    core.py:1477): index-space segments + coordinate vectors in radians,
+    summed over all segments of one level, zero total -> NaN."""
+    lat, lon, vor = vorticity
+    level = float(np.nanmean(vor))
+    segs = native.find_contours(vor, level)           # index space
+    legacy = contour_length(segs, np.deg2rad(lon), np.deg2rad(lat),
+                            latlon=True)
+    # must equal interp-to-coords + newer per-segment form, summed
+    newer = sum(contour_length(np.c_[np.interp(s[:, 0],
+                                               np.arange(lat.size), lat),
+                                     np.interp(s[:, 1],
+                                               np.arange(lon.size), lon)],
+                               latlon=True) for s in segs)
+    np.testing.assert_allclose(legacy, newer, rtol=1e-12)
+    # and agree with the traversal-free TPU kernel total at that level
+    kernel = float(np.asarray(contour_lengths(
+        jnp.asarray(vor), jnp.asarray([level]), jnp.asarray(lat),
+        jnp.asarray(lon), latlon=True))[0])
+    np.testing.assert_allclose(legacy, kernel, rtol=1e-6)
+    # degenerate: a level outside the data range crosses nothing -> NaN
+    assert np.isnan(contour_length(
+        native.find_contours(vor, float(np.nanmax(vor)) + 1.0),
+        np.deg2rad(lon), np.deg2rad(lat), latlon=True))
+
+
+def test_legacy_contour_length_cartesian():
+    y, x, r = _circle_field(301)
+    segs = native.find_contours(r, 0.6)
+    legacy = contour_length(segs, x, y, latlon=False)
+    want = 2 * np.pi * 0.6
+    np.testing.assert_allclose(legacy, want, rtol=2e-4)

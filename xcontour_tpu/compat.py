@@ -511,6 +511,24 @@ def lwa_snapshot(tracer: np.ndarray, ydef: np.ndarray, dA: np.ndarray,
                 lwa=lwa, lwa2=lwa2)
 
 
+def lwa_production_snapshot(q: np.ndarray, sigma: np.ndarray,
+                            ydef: np.ndarray, dA: np.ndarray,
+                            mask: np.ndarray, N: int, increase: bool = True,
+                            lt: bool = True,
+                            Rearth: float = _REARTH) -> dict:
+    """σ-weighted (isentropic-density) production LWA, reference
+    tests/LWA.py:46-88: the sorted tracer is the COMPOSITION σ·q, the area
+    integral uses integrand 1 (``integrand=sigma*0+1`` in the reference),
+    LWA is computed for σ·q against its own sorted profile, and ``lwa_norm``
+    carries the reference's earth-circle-perimeter normalization
+    lwa / (2πR·cos(lat)) (tests/LWA.py:22,80)."""
+    out = lwa_snapshot(np.asarray(sigma, np.float64) * np.asarray(q, np.float64),
+                       ydef, dA, mask, N=N, increase=increase, lt=lt)
+    perim = latitude_lengths_at(np.asarray(ydef, np.float64), Rearth)
+    out["lwa_norm"] = out["lwa"] / perim[:, None]
+    return out
+
+
 def squared_gradient(q: np.ndarray, ydef: np.ndarray, xdef: np.ndarray,
                      latlon: bool = True, periodic_x: bool = True,
                      Rearth: float = _REARTH) -> np.ndarray:

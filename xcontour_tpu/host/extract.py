@@ -6,8 +6,10 @@ tests/test_breaking.py:412-421 and tests/test_clength.py:615-630):
 * ``find_contour(data, dims, level, period=...)`` — marching-squares polylines
   mapped from index space to physical coordinates (with optional periodic
   coordinate interpolation, mirroring np.interp's ``period`` argument);
-* ``contour_length(segment, latlon=...)`` — polyline length of a single
-  coordinate-space segment (1-arg variant of reference utils.py:565-609);
+* ``contour_length`` — polyline length, BOTH reference API generations:
+  the newer 1-arg coordinate-space form ``contour_length(segment, latlon=...)``
+  and the older index-space form ``contour_length(segments, xdef, ydef,
+  latlon)`` (reference utils.py:565-609, the one core.py:1477 calls);
 * ``contour_area(verts)`` — shoelace area of a closed contour
   (reference utils.py:537-561).
 
@@ -58,25 +60,61 @@ def find_contour(data, dims: Optional[Sequence] = None, level: float = 0.0,
     return out
 
 
-def contour_length(segment: np.ndarray, latlon: bool = True,
-                   Rearth: float = _REARTH) -> float:
-    """Length of one coordinate-space polyline (columns (y, x); degrees if
-    ``latlon``).  Haversine on the sphere or hypot on the plane
-    (reference utils.py:705-761); NaN for degenerate segments."""
-    seg = np.asarray(segment, np.float64)
-    if seg.shape[0] <= 1:
-        return float("nan")
-    y = seg[:, 0]
-    x = seg[:, 1]
+def _polyline_radians(y: np.ndarray, x: np.ndarray, latlon: bool) -> float:
+    """Sum of segment lengths for one polyline with coordinates already in
+    radians (latlon) or meters (cartesian); unit-sphere length for latlon."""
     if latlon:
-        y = np.deg2rad(y)
-        x = np.deg2rad(x)
         dlat = y[1:] - y[:-1]
         dlon = x[1:] - x[:-1]
         a = (np.sin(dlat / 2) ** 2 +
              np.cos(y[:-1]) * np.cos(y[1:]) * np.sin(dlon / 2) ** 2)
-        return float(np.sum(2 * np.arcsin(np.sqrt(a))) * Rearth)
+        return float(np.sum(2 * np.arcsin(np.sqrt(a))))
     return float(np.sum(np.hypot(np.diff(y), np.diff(x))))
+
+
+def contour_length(segments, xdef=None, ydef=None, latlon: bool = True,
+                   disp: bool = False, Rearth: float = _REARTH) -> float:
+    """Contour perimeter — both reference API generations, dispatched on
+    whether coordinate vectors are given.
+
+    Newer 1-arg form (reference tests/test_breaking.py:391):
+    ``contour_length(segment, latlon=...)`` with one coordinate-space
+    polyline (columns (y, x), DEGREES if latlon); NaN for degenerate
+    (single-vertex) segments.
+
+    Older form (reference utils.py:565-609, called by core.py:1477):
+    ``contour_length(segments, xdef, ydef, latlon)`` with a LIST of
+    index-space marching-squares polylines (columns (y_idx, x_idx)) plus
+    coordinate vectors in RADIANS (latlon) or meters; indices are np.interp'd
+    onto the coordinates, lengths summed over all segments, and a zero total
+    returns NaN.  ``disp`` is accepted for signature parity (the reference's
+    debug print flag) and ignored.
+    """
+    del disp
+    if xdef is None:
+        seg = np.asarray(segments, np.float64)
+        if seg.shape[0] <= 1:
+            return float("nan")
+        y = seg[:, 0]
+        x = seg[:, 1]
+        if latlon:
+            return _polyline_radians(np.deg2rad(y), np.deg2rad(x),
+                                     True) * Rearth
+        return _polyline_radians(y, x, False)
+
+    xdef = np.asarray(xdef, np.float64)
+    ydef = np.asarray(ydef, np.float64)
+    yidx = np.arange(ydef.size)
+    xidx = np.arange(xdef.size)
+    total = 0.0
+    for segment in segments:
+        seg = np.asarray(segment, np.float64)
+        ypos = np.interp(seg[:, 0], yidx, ydef)
+        xpos = np.interp(seg[:, 1], xidx, xdef)
+        total += _polyline_radians(ypos, xpos, latlon)
+    if total == 0.0:
+        return float("nan")
+    return total * Rearth if latlon else total
 
 
 def contour_area(verts: np.ndarray) -> float:
