@@ -91,6 +91,7 @@ def test_config4_lape_internal_wave():
     assert tots[0] < tots[1] < tots[2]
 
 
+@pytest.mark.slow
 def test_config5_contour_length_and_fractal(vorticity):
     """'Contour perimeter length + fractal dimension via marching squares
     (Data/globalTracers.nc, notebooks/4.ContourLength_ocean)'"""
@@ -124,6 +125,7 @@ def test_config5_contour_length_and_fractal(vorticity):
     assert med[2] > med[0]
 
 
+@pytest.mark.slow
 def test_north_star_year_batch(vorticity):
     """The north-star workload shape: a (held-small) year of daily snapshots
     through the combined pipeline in fixed-size batches."""

@@ -57,6 +57,7 @@ def test_origin_interp_sections_flattened(case):
     assert "levels" in ds and "levels_at" in ds
 
 
+@pytest.mark.slow
 def test_geometry_pipeline_labels(case):
     grid, tr, _ = case
     ds = as_dataset(clength_pipeline(tr, grid, N=11, increase=True, lt=True),

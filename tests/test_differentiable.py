@@ -12,7 +12,10 @@ semantics and is intentionally outside the differentiable surface.
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
 
 from xcontour_tpu import grid as G
 from xcontour_tpu import core

@@ -42,6 +42,7 @@ def test_add_mitgcm_missing_metrics_facade():
                                                    v["dxF"]))
 
 
+@pytest.mark.slow
 def test_clength_pipeline_invariants(vorticity):
     """The Cauchy-Schwarz chain L_eq >= L >= L_min (reference notebook 4
     cell 0) holds on the bundled snapshot for interior contours."""
@@ -65,6 +66,7 @@ def test_clength_pipeline_invariants(vorticity):
     assert np.all(prod[sl][fin] >= 0.98)
 
 
+@pytest.mark.slow
 def test_fractal_pipeline(vorticity):
     from xcontour_tpu import grid as G
     from xcontour_tpu.pipeline import fractal_pipeline

@@ -8,7 +8,10 @@ semantics), and histogram == both at interior levels.  Deterministic seeds.
 
 import numpy as np
 import jax.numpy as jnp
+
 import pytest
+
+pytestmark = pytest.mark.slow
 
 from xcontour_tpu import core, compat
 

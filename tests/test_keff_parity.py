@@ -72,6 +72,7 @@ def test_jax_hist_matches_oracle(case, increase, lt):
 
 
 @pytest.mark.parametrize("increase,lt", FLAGS)
+@pytest.mark.slow
 def test_jax_broadcast_matches_oracle(case, increase, lt):
     lat, lon, vor, grdS, grid, mask, pre_y = case
     want = compat.keff_snapshot(vor, grdS, lat, np.asarray(grid.dA),

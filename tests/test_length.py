@@ -89,6 +89,7 @@ def test_lengths_with_nan_mask(vorticity):
 
 @pytest.mark.parametrize("quirks", [False, True])
 @pytest.mark.parametrize("stride", [1, 2, 4])
+@pytest.mark.slow
 def test_crossing_matches_oracle(vorticity, quirks, stride):
     lat, lon, vor = vorticity
     grid = G.from_latlon(lat, lon, dtype=jnp.float64)
@@ -102,6 +103,7 @@ def test_crossing_matches_oracle(vorticity, quirks, stride):
         np.testing.assert_allclose(got[k], want, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_crossing_stride_list_uses_max_pad(vorticity):
     """Stride lists share one max-stride padding (reference core.py:673-675)."""
     lat, lon, vor = vorticity
@@ -144,6 +146,7 @@ def test_fractal_dimension_straight_vs_rough():
     np.testing.assert_allclose(d3, 1.3, rtol=1e-10)  # fit skips the NaN scale
 
 
+@pytest.mark.slow
 def test_fractal_on_vorticity(vorticity):
     """End-to-end fractal workflow on the bundled snapshot: D in a physically
     sensible band (reference plots ~1.0-1.6, tests/test_fractal.py:159)."""

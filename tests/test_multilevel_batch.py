@@ -6,7 +6,10 @@ path 'does not support multi-dimensional calculation well'
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
 
 from xcontour_tpu import grid as G
 from xcontour_tpu.pipeline import keff_lwa_pipeline

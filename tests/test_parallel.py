@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from xcontour_tpu.parallel import make_mesh, shard_batch_spec, sharded_weighted_cdf
 from xcontour_tpu.ops.histogram import weighted_cdf
 from xcontour_tpu.pipeline import keff_lwa_pipeline

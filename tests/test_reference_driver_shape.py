@@ -6,7 +6,10 @@ their script works with only the import line changed.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
 
 from xcontour_tpu.xcontour import (Contour2D, latitude_lengths_at,
                                    add_latlon_metrics)

@@ -3,6 +3,7 @@ silently on pathological fields (the reference raises deep inside xhistogram
 or produces NaN storms)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from xcontour_tpu import core
@@ -24,6 +25,7 @@ def test_constant_field_contours():
     np.testing.assert_allclose(out, 0.0)
 
 
+@pytest.mark.slow
 def test_all_nan_field():
     f = jnp.full((8, 16), jnp.nan)
     dA = jnp.ones((8, 16))
@@ -35,6 +37,7 @@ def test_all_nan_field():
     assert np.all(np.isnan(L))
 
 
+@pytest.mark.slow
 def test_levels_outside_range(rng):
     """User-prescribed levels outside the tracer range: hist path windows
     them out; exact path extends naturally."""

@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 from xcontour_tpu import compat
 from xcontour_tpu import grid as G
 from xcontour_tpu.utils import synth
