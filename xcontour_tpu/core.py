@@ -502,22 +502,35 @@ class Contour2D:
     def interp_to_coords(self, predef, eq_coords, var):
         return interp_to_coords(jnp.asarray(predef, self.dtype), eq_coords, var)
 
-    def interp_to_dataset(self, predef, eq_coords, vs: dict):
+    def interp_to_dataset(self, predef, eq_coords, vs: dict,
+                          batch_dims: tuple = (), batch_coords: dict = None):
         """The reference's Dataset merge (core.py:1017-1047): every variable
         interpolated onto ``predef`` equivalent coordinates, returned as a
         labeled Dataset (dict-style access works; ``.to_nc3``/``.to_nc4``
         write it out).  The new coordinate is named after the grid's
-        equivalent dim like the reference's 'new'->dimEq rename."""
+        equivalent dim like the reference's 'new'->dimEq rename.
+
+        ``batch_dims`` names the leading (batch) axes, exactly like the
+        reference keeps the caller's dims ('time', 'level', ...) through its
+        xarray merge; unnamed leading axes fall back to synthetic
+        ``dim{i}_{size}`` labels.  ``batch_coords`` optionally attaches 1-D
+        coordinate variables for those dims (written as netCDF coordinate
+        variables by ``.to_nc3``)."""
         from .utils.ncio import Dataset
         predef_j = jnp.asarray(predef, self.dtype)
         out = {name: interp_to_coords(predef_j, eq_coords, var)
                for name, var in vs.items()}
         pdim = self.grid.dim_names[0]
+        batch_dims = tuple(batch_dims)
         ds = Dataset()
         ds.coords[pdim] = np.asarray(predef)
+        for cname, cvals in (batch_coords or {}).items():
+            ds.coords[cname] = np.asarray(cvals)
         for name, var in out.items():
             a = np.asarray(var)
-            lead = tuple(f"dim{i}_{s}" for i, s in enumerate(a.shape[:-1]))
+            lead = tuple(batch_dims[i] if i < len(batch_dims)
+                         else f"dim{i}_{s}"
+                         for i, s in enumerate(a.shape[:-1]))
             ds.variables[name] = a
             ds.dims[name] = lead + (pdim,)
         return ds
