@@ -219,3 +219,45 @@ def test_fast_f32_cancellation_controlled(rng, vorticity):
         jnp.asarray(W64, jnp.float32), True, False))
     scale = np.nanmax(np.abs(want))
     assert np.nanmax(np.abs(got - want)) < 1e-4 * scale
+
+
+def test_default_path_noise_floor_policy(rng, vorticity):
+    """The TESTED accuracy policy (VERDICT r2 item 8): the default auto path
+    below the tall-grid crossover is the linearized kernel ('lin'), whose
+    f32 noise floor is ~5e-5 of the max (the R and E terms cancel); the
+    opt-out 'dense' path keeps the reference's summation order at ~1e-6.
+    Pin BOTH bounds so a silent regression in either path is caught, and pin
+    the auto resolution itself."""
+    from xcontour_tpu.diagnostics.lwa import (_resolve_method, _lwa_lin_xla,
+                                              _FAST_NY_CROSSOVER)
+    from xcontour_tpu.diagnostics import lwa as lwa_mod
+    assert _resolve_method("auto", "all", 256) == "lin"
+    assert _resolve_method("auto", "all", _FAST_NY_CROSSOVER) == "fast"
+    assert _resolve_method("auto", "upper", 256) == "dense"
+
+    lat, lon, vor = vorticity
+    from xcontour_tpu import grid as G
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    dA = np.asarray(grid.dA)
+    state = compat.lwa_snapshot(vor, lat, dA, np.ones_like(vor), N=121,
+                                increase=True, lt=True)
+    Q = state["Q"]
+    want = compat.local_wave_activity(vor, Q, dA, lat, increase=True)
+    scale = np.nanmax(np.abs(want))
+    W = (dA / np.nanmax(dA) * dA).astype(np.float32)
+    q32 = jnp.asarray(vor, jnp.float32)[None]
+    Q32 = jnp.asarray(Q, jnp.float32)[None]
+
+    got_lin = np.asarray(_lwa_lin_xla(q32, Q32, jnp.asarray(W), True, False,
+                                      chunk=16))[0]
+    err_lin = np.nanmax(np.abs(got_lin - want)) / scale
+    assert err_lin < 1.5e-4      # 'lin' floor: measured ~2e-5, bound 1.5e-4
+
+    got_dense = np.asarray(lwa_mod._lwa_impl(
+        q32, Q32, jnp.asarray(dA, jnp.float32), jnp.asarray(lat, jnp.float32),
+        increase=True, part="all", chunk=16, weight=None,
+        method="dense"))[0]
+    err_dense = np.nanmax(np.abs(got_dense - want)) / scale
+    assert err_dense < 5e-6      # 'dense' keeps reference-order ~1e-6 f32
+    # and the documented ordering: dense is the accuracy opt-out
+    assert err_dense < err_lin

@@ -114,8 +114,12 @@ def lwa_pipeline(tracer: jax.Array, grid: Grid,
              'dy' — wei*dyF, the physically-united (m/s) form the reference's
              commented-out grid metric intends (core.py:787-788).
     lwa_method : LWA execution path ('auto'|'lin'|'dense'|'fast', see
-             diagnostics.lwa.local_wave_activity) — 'dense' keeps the
-             reference's exact summation order in float32.
+             diagnostics.lwa.local_wave_activity).  Accuracy policy: the
+             default auto path ('lin' below the tall-grid crossover) has an
+             f32 noise floor of ~5e-5 of the field max; 'dense' keeps the
+             reference's exact summation order (~1e-6) at ~2x the cost.
+             Both bounds are pinned by tests/test_lwa_fast.py::
+             test_default_path_noise_floor_policy.
     """
     ydef = grid.ydef.astype(tracer.dtype)
     dA = grid.dA.astype(tracer.dtype)
