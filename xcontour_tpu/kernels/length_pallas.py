@@ -3,13 +3,27 @@
 The XLA formulation evaluates every (cell, level) pair densely — for zonally
 banded geophysical tracers that wastes most of the transcendental work, since
 a given contour level only crosses the latitude band containing it.  Here the
-cell rows are split into row blocks; each (row-block, level) grid step is
-guarded by a precomputed block min/max pretest (`pl.when`), so blocks the
-level cannot cross cost one scalar compare.  Within an active block the cell
-geometry (endpoint selection first, then at most two geodesic evaluations —
-diagnostics/length.py semantics exactly) runs on VMEM-resident corner panels,
-and per-level totals accumulate through a one-hot row into a VMEM scratch,
-flushed once per batch element.
+cell rows are split into row blocks and the levels are SORTED outside the
+kernel, so the levels a block can cross form one contiguous index range
+[n0, n1) (block corner min/max -> searchsorted, precomputed on the XLA side).
+Each (batch, row-block) grid step runs a dynamic `fori_loop` over exactly its
+active levels — inactive (block, level) pairs cost nothing, not even a grid
+step.
+
+Everything level-independent is hoisted out of that loop and off the chip:
+the four edge-denominator reciprocals arrive as precomputed panels (no
+per-level divides), and the geodesic segment length is evaluated in OFFSET
+form — endpoint positions are carried as small offsets from the cell's
+(y0, x0) corner, so the haversine needs only the precomputed per-row
+sin/cos(y0) plus short odd/even Maclaurin polynomials of the (cell-sized)
+offsets instead of full-range transcendentals.  The offset haversine is
+mathematically identical to the reference's (utils.py:734-761): it evaluates
+the same sin^2(dlat/2) + cos(lat1)cos(lat2)sin^2(dlon/2) with the same
+linear-in-level endpoint interpolation, only the trig is computed by exact
+angle addition from tabulated row values.
+
+Per-level totals accumulate through a one-hot row into a VMEM scratch,
+flushed once per batch element; results are unsorted back outside.
 
 Cited semantics: skimage-compatible marching squares with
 fully_connected='low' saddles (reference core.py:1437-1487 + utils.py:565-609
@@ -26,10 +40,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _RB = 16  # cell rows per block (multiple of the f32 sublane width).
-# Smaller blocks tighten the per-block min/max level pretest — a contour
-# level crosses fewer 16-row bands than 64-row bands, so fewer dense panel
-# evaluations run (measured 38 -> 20 ms on the 32x256x512 N=121 case; 8-row
-# blocks lose the gain again to grid-step overhead).
+# Smaller blocks tighten the per-block active-level range (a level crosses
+# fewer 16-row bands than 64-row bands) but add per-block fixed cost.  On the
+# 32x256x512 N=121 full-range case (v5e): RB=16 -> 4.9 ms at 33% of the
+# active-block op model; RB=8 -> 4.7 ms but only 27% (per-block overhead eats
+# the tighter pretest).  RB=16 keeps the better model margin at ~same time.
 
 
 def _seg_endpoints(level, v00, v01, v10, v11):
@@ -103,58 +118,172 @@ def _block_length(level, v00, v01, v10, v11, y0, y1, x0, x1, valid,
     return jnp.sum(L)
 
 
-def _kernel(lev_ref, mm_ref, v00_ref, v01_ref, v10_ref, v11_ref,
-            y0_ref, y1_ref, x0_ref, x1_ref, valid_ref, out_ref, acc_ref, *,
-            latlon: bool, n_levels: int, n_pad: int):
+def _sin_small(u):
+    """sin(u) for |u| <= ~0.45 rad (cell-sized angles): odd Maclaurin through
+    u^7 — truncation < 2e-9 relative at u=0.45, far below f32 eps."""
+    u2 = u * u
+    return u * (1.0 + u2 * (-1.0 / 6.0 + u2 * (1.0 / 120.0
+                                               + u2 * (-1.0 / 5040.0))))
+
+
+def _cos_small(u):
+    """cos(u) for |u| <= ~0.45 rad: even Maclaurin through u^6
+    (truncation u^8/40320 < 4e-9 absolute at u=0.45)."""
+    u2 = u * u
+    return 1.0 + u2 * (-0.5 + u2 * (1.0 / 24.0 + u2 * (-1.0 / 720.0)))
+
+
+def _asin_small(z):
+    """asin(z) for z <= ~0.3 (half-chord of a cell diagonal): odd series
+    through z^9 — truncation < 3e-8 absolute at z=0.3."""
+    z2 = z * z
+    return z * (1.0 + z2 * (1.0 / 6.0 + z2 * (3.0 / 40.0
+                                              + z2 * (15.0 / 336.0
+                                                      + z2 * (105.0 / 3456.0)))))
+
+
+def _offset_block_length(lev, v00, v01, v10, v11, it, ib, il, ir,
+                         cy, sy, dyr, dxc, valid, latlon: bool):
+    """Sum of in-cell segment lengths for one level over a corner-panel block.
+
+    Endpoint positions are carried as (olat, olon) OFFSETS from the cell's
+    (y0, x0) corner; ``it/ib/il/ir`` are the precomputed reciprocals of the
+    four edge denominators (0 where degenerate, reproducing the frac()
+    zero-guard of diagnostics/length.py); ``cy``/``sy`` are cos/sin of the
+    row's y0 (latlon only); ``dyr`` (RB, 1) and ``dxc`` (1, NxC) the cell
+    extents.
+
+    Honest per-(cell, level) op model of this function, counting each vector
+    op / FMA / compare / select as one VPU slot (used by bench.py's
+    measured-active-block roofline): 4 cmp + 4 xor + ~21 case-logic bools
+    + 8 frac FMAs + 4 offset muls + 10 selects + 1 seglen at ~44 slots
+    (2x sin_small(5) + 2x cos-angle-add(2x8+1) + combine 3 + sqrt ~4
+    + asin_small 7 + scale 1) + 3 accum = ~98 slots; the rare saddle second
+    segment is gated behind a block-level `lax.cond`.  OPS_PER_CELL_LEVEL
+    below exports this count.
+    """
+    a00 = v00 > lev
+    a01 = v01 > lev
+    a10 = v10 > lev
+    a11 = v11 > lev
+    x01 = a00 ^ a01
+    x23 = a10 ^ a11
+    x02 = a00 ^ a10
+    x13 = a01 ^ a11
+
+    iso00 = x01 & x02 & ~x13
+    iso01 = x01 & x13 & ~x02
+    iso10 = x02 & x23 & ~x01
+    iso11 = x13 & x23 & ~x01
+    horiz = ~x01 & ~x23 & x02
+    verti = ~x02 & ~x13 & x01
+    sad_main = a00 & a11 & ~a01 & ~a10
+    sad_anti = a01 & a10 & ~a00 & ~a11
+    exists1 = (iso00 | iso01 | iso10 | iso11 | horiz | verti |
+               sad_main | sad_anti) & valid
+    saddle = (sad_main | sad_anti) & valid
+
+    ft = (lev - v00) * it
+    fb = (lev - v10) * ib
+    fl = (lev - v00) * il
+    fr = (lev - v01) * ir
+
+    zero = jnp.zeros((), lev.dtype)
+    top = (zero, ft * dxc)
+    bot = (dyr, fb * dxc)
+    lef = (fl * dyr, zero)
+    rig = (fr * dyr, dxc)
+
+    def sel(cond, p, q):
+        return (jnp.where(cond, p[0], q[0]), jnp.where(cond, p[1], q[1]))
+
+    if latlon:
+        def seglen(p, q):
+            sl = _sin_small(0.5 * (p[0] - q[0]))
+            sn = _sin_small(0.5 * (p[1] - q[1]))
+            # cos(y0 + o) by exact angle addition from the tabulated row trig
+            c1 = cy * _cos_small(p[0]) - sy * _sin_small(p[0])
+            c2 = cy * _cos_small(q[0]) - sy * _sin_small(q[0])
+            a = jnp.maximum(sl * sl + (c1 * c2) * (sn * sn), 0.0)
+            return 2.0 * _asin_small(jnp.sqrt(a))
+    else:
+        def seglen(p, q):
+            dy = p[0] - q[0]
+            dx = p[1] - q[1]
+            return jnp.sqrt(dy * dy + dx * dx)
+
+    p1 = sel(horiz, lef, sel(iso10 | iso11, bot, top))
+    q1 = sel(iso00 | iso10 | sad_main, lef, sel(verti, bot, rig))
+    cnt = jnp.sum(jnp.where(exists1, seglen(p1, q1), 0.0))
+
+    def with_saddle():
+        q2 = sel(sad_main, rig, lef)
+        return jnp.sum(jnp.where(saddle, seglen(bot, q2), 0.0))
+
+    return cnt + jax.lax.cond(jnp.any(saddle), with_saddle,
+                              lambda: jnp.zeros((), lev.dtype))
+
+
+# Honest VPU-slot count per evaluated (cell, level) pair of the kernel above
+# (see _offset_block_length docstring for the breakdown); bench.py multiplies
+# this by the measured active (block, level) pair count times cells/block.
+OPS_PER_CELL_LEVEL = 98
+
+
+def _kernel(lev_ref, n0_ref, n1_ref, v00_ref, v01_ref, v10_ref, v11_ref,
+            it_ref, ib_ref, il_ref, ir_ref, cy_ref, sy_ref, dy_ref, dx_ref,
+            valid_ref, out_ref, acc_ref, *,
+            latlon: bool, n_levels: int, n_pad: int, n_rb: int):
     b = pl.program_id(0)
     rb = pl.program_id(1)
-    n = pl.program_id(2)
-    n_rb = pl.num_programs(1)
 
-    @pl.when((rb == 0) & (n == 0))
+    @pl.when(rb == 0)
     def _():
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
     # scalar-prefetch operands are FLAT: SMEM pads each trailing 2-D tile to
     # (8, 128), which overflows the 1 MB SMEM for large batches (the windowed
     # local-length workload runs hundreds of windows per call)
-    lev = lev_ref[b * n_levels + n]
-    mn = mm_ref[(b * n_rb + rb) * 2]
-    mx = mm_ref[(b * n_rb + rb) * 2 + 1]
+    n0 = n0_ref[b * n_rb + rb]
+    n1 = n1_ref[b * n_rb + rb]
 
-    @pl.when((lev >= mn) & (lev <= mx))
-    def _():
-        y0 = y0_ref[0]                   # (RB, 1)
-        y1 = y1_ref[0]
-        x0 = x0_ref[0]                   # (1, NxC)
-        x1 = x1_ref[0]
-        cnt = _block_length(lev, v00_ref[0], v01_ref[0], v10_ref[0],
-                            v11_ref[0], y0, y1, x0, x1, valid_ref[0] > 0,
-                            latlon)
-        iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    v00 = v00_ref[0]
+    v01 = v01_ref[0]
+    v10 = v10_ref[0]
+    v11 = v11_ref[0]
+    it = it_ref[0]
+    ib = ib_ref[0]
+    il = il_ref[0]
+    ir = ir_ref[0]
+    cy = cy_ref[0]                       # (RB, 1)
+    sy = sy_ref[0]
+    dyr = dy_ref[0]
+    dxc = dx_ref[0]                      # (1, NxC)
+    valid = valid_ref[0] > 0
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+
+    def body(n, _):
+        lev = lev_ref[b * n_levels + n]
+        cnt = _offset_block_length(lev, v00, v01, v10, v11, it, ib, il, ir,
+                                   cy, sy, dyr, dxc, valid, latlon)
         acc_ref[0:1, :] += jnp.where(iota_n == n, cnt, 0.0)
+        return 0
 
-    @pl.when((rb == n_rb - 1) & (n == n_levels - 1))
+    jax.lax.fori_loop(n0, n1, body, 0, unroll=False)
+
+    @pl.when(rb == n_rb - 1)
     def _():
         out_ref[0] = jnp.broadcast_to(acc_ref[0:1, :], out_ref.shape[1:])
 
 
-@partial(jax.jit, static_argnames=("latlon", "interpret"))
-def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
-                           ydef: jax.Array, xdef: jax.Array, *,
-                           latlon: bool, interpret: bool = False) -> jax.Array:
-    """Total perimeter per level.  data (B, Ny, Nx); levels (B, N);
-    ydef/xdef coordinate vectors (radians if latlon, else meters) — either
-    shared (Ny,)/(Nx,) or per-batch-element (B, Ny)/(B, Nx) (the windowed
-    local-length workload gives every window its own coordinate patch).
-    Returns (B, N) raw totals (0 for empty contours; caller NaN-ifies and
-    applies the Earth-radius factor)."""
-    B, Ny, Nx = data.shape
-    N = levels.shape[-1]
-    n_pad = -(-N // 128) * 128
-    ydef = jnp.broadcast_to(ydef, (B, Ny))
-    xdef = jnp.broadcast_to(xdef, (B, Nx))
+def _safe_inv(d):
+    return jnp.where(d == 0, 0.0, 1.0 / jnp.where(d == 0, 1.0, d))
 
+
+def _block_panels(data, ydef, xdef, latlon: bool):
+    """Corner/reciprocal/trig panels + per-(batch, row-block) corner min/max
+    shared by the kernel launch and the bench's active-pair accounting."""
+    B, Ny, Nx = data.shape
     v00 = data[:, :-1, :-1]
     v01 = data[:, :-1, 1:]
     v10 = data[:, 1:, :-1]
@@ -170,8 +299,7 @@ def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
         v00, v01, v10, v11 = (padr(a, jnp.nan) for a in (v00, v01, v10, v11))
         valid = jnp.concatenate(
             [valid, jnp.zeros((B, pad_r, NxC), bool)], axis=1)
-    NyCp = NyC + pad_r
-    n_rb = NyCp // _RB
+    n_rb = (NyC + pad_r) // _RB
 
     # per-(batch, row-block) corner min/max over valid cells for the pretest
     lo = jnp.where(valid, jnp.minimum(jnp.minimum(v00, v01),
@@ -180,48 +308,96 @@ def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
                                       jnp.maximum(v10, v11)), -jnp.inf)
     lo = jnp.min(lo.reshape(B, n_rb, _RB * NxC), axis=-1)
     hi = jnp.max(hi.reshape(B, n_rb, _RB * NxC), axis=-1)
-    minmax = jnp.stack([lo, hi], axis=-1).reshape(-1)   # flat (B*n_rb*2,)
+
+    inv_t = _safe_inv(v01 - v00)
+    inv_b = _safe_inv(v11 - v10)
+    inv_l = _safe_inv(v10 - v00)
+    inv_r = _safe_inv(v11 - v01)
 
     ypad = jnp.zeros((B, pad_r), ydef.dtype)
-    y0 = jnp.concatenate([ydef[:, :-1], ypad], axis=1)[:, :, None]
-    y1 = jnp.concatenate([ydef[:, 1:], ypad], axis=1)[:, :, None]
-    x0 = xdef[:, None, :-1]                           # (B, 1, NxC)
-    x1 = xdef[:, None, 1:]
+    y0 = jnp.concatenate([ydef[:, :-1], ypad], axis=1)
+    dyr = (jnp.concatenate([ydef[:, 1:], ypad], axis=1) - y0)[:, :, None]
+    dxc = (xdef[:, 1:] - xdef[:, :-1])[:, None, :]
+    if latlon:
+        cy = jnp.cos(y0)[:, :, None]
+        sy = jnp.sin(y0)[:, :, None]
+    else:
+        cy = jnp.ones_like(y0)[:, :, None]
+        sy = jnp.zeros_like(y0)[:, :, None]
+    return (v00, v01, v10, v11, inv_t, inv_b, inv_l, inv_r, cy, sy, dyr,
+            dxc, valid, lo, hi, n_rb, NxC)
 
+
+def _active_ranges(levels, lo, hi):
+    """Sorted levels + the contiguous active-index range per (batch, block)."""
+    order = jnp.argsort(levels, axis=-1)                 # NaNs sort last
+    lev_s = jnp.take_along_axis(levels, order, axis=-1)
+    n0 = jax.vmap(lambda l, v: jnp.searchsorted(l, v, side="left"))(lev_s, lo)
+    n1 = jax.vmap(lambda l, v: jnp.searchsorted(l, v, side="right"))(lev_s, hi)
+    n1 = jnp.maximum(n0, n1)
+    return order, lev_s, n0.astype(jnp.int32), n1.astype(jnp.int32)
+
+
+@jax.jit
+def active_pair_count(data: jax.Array, levels: jax.Array) -> jax.Array:
+    """Number of (row-block, level) pairs the kernel actually evaluates for
+    these inputs — the basis of bench.py's measured-active-block op model."""
+    B, Ny, Nx = data.shape
+    ydef = jnp.zeros((B, Ny), data.dtype)
+    xdef = jnp.zeros((B, Nx), data.dtype)
+    panels = _block_panels(data, ydef, xdef, latlon=False)
+    lo, hi = panels[13], panels[14]
+    levels = jnp.broadcast_to(levels, (B, levels.shape[-1]))
+    _, _, n0, n1 = _active_ranges(levels, lo, hi)
+    return jnp.sum(n1 - n0)
+
+
+@partial(jax.jit, static_argnames=("latlon", "interpret"))
+def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
+                           ydef: jax.Array, xdef: jax.Array, *,
+                           latlon: bool, interpret: bool = False) -> jax.Array:
+    """Total perimeter per level.  data (B, Ny, Nx); levels (B, N);
+    ydef/xdef coordinate vectors (radians if latlon, else meters) — either
+    shared (Ny,)/(Nx,) or per-batch-element (B, Ny)/(B, Nx) (the windowed
+    local-length workload gives every window its own coordinate patch).
+    Returns (B, N) raw totals (0 for empty contours; caller NaN-ifies and
+    applies the Earth-radius factor)."""
+    B, Ny, Nx = data.shape
+    N = levels.shape[-1]
+    n_pad = -(-N // 128) * 128
+    ydef = jnp.broadcast_to(ydef, (B, Ny)).astype(data.dtype)
+    xdef = jnp.broadcast_to(xdef, (B, Nx)).astype(data.dtype)
+    levels = jnp.broadcast_to(levels, (B, N))
+
+    (v00, v01, v10, v11, inv_t, inv_b, inv_l, inv_r, cy, sy, dyr, dxc,
+     valid, lo, hi, n_rb, NxC) = _block_panels(data, ydef, xdef, latlon)
+    order, lev_s, n0, n1 = _active_ranges(levels, lo, hi)
+
+    big = pl.BlockSpec((1, _RB, NxC), lambda b, r, *_: (b, r, 0),
+                       memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, _RB, 1), lambda b, r, *_: (b, r, 0),
+                       memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((1, 1, NxC), lambda b, r, *_: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, n_rb, N),
-        in_specs=[
-            pl.BlockSpec((1, _RB, NxC), lambda b, r, n, *_: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _RB, NxC), lambda b, r, n, *_: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _RB, NxC), lambda b, r, n, *_: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _RB, NxC), lambda b, r, n, *_: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _RB, 1), lambda b, r, n, *_: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _RB, 1), lambda b, r, n, *_: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NxC), lambda b, r, n, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NxC), lambda b, r, n, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _RB, NxC), lambda b, r, n, *_: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, n_pad), lambda b, r, n, *_: (b, 0, 0)),
+        num_scalar_prefetch=3,
+        grid=(B, n_rb),
+        in_specs=[big] * 8 + [row, row, row, col, big],
+        out_specs=pl.BlockSpec((1, 8, n_pad), lambda b, r, *_: (b, 0, 0)),
         scratch_shapes=[pltpu.VMEM((8, n_pad), data.dtype)],
     )
     out = pl.pallas_call(
-        partial(_kernel, latlon=latlon, n_levels=N, n_pad=n_pad),
+        partial(_kernel, latlon=latlon, n_levels=N, n_pad=n_pad, n_rb=n_rb),
         out_shape=jax.ShapeDtypeStruct((B, 8, n_pad), data.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(levels.reshape(-1), minmax, v00, v01, v10, v11, y0, y1, x0, x1,
+    )(lev_s.reshape(-1), n0.reshape(-1), n1.reshape(-1),
+      v00, v01, v10, v11, inv_t, inv_b, inv_l, inv_r, cy, sy, dyr, dxc,
       valid.astype(data.dtype))
-    return out[:, 0, :N]
+    out_s = out[:, 0, :N]
+    # unsort: sorted position k holds the result of original level order[k]
+    inv_perm = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(out_s, inv_perm, axis=-1)
 
 
 def _local_kernel(lev_ref, v00_ref, v01_ref, v10_ref, v11_ref,
