@@ -209,3 +209,55 @@ def test_sharded_contour_lengths_matches_local(mesh, rng):
                                   jnp.asarray(lon), mesh, latlon=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-12, equal_nan=True)
+
+
+def test_sharded_local_lengths_matches_local(mesh, rng):
+    """Windowed local lengths with the window list sharded across the mesh:
+    one all_gather of the X-sharded tracer, block-sharded window evaluation —
+    equals the single-device windowed path exactly (NaN windows included)."""
+    from xcontour_tpu.parallel import sharded_local_lengths
+    from xcontour_tpu.diagnostics.local_length import local_contour_lengths
+    from xcontour_tpu import config
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    Ny, Nx = 40, 64
+    lat = np.linspace(-75, 75, Ny)
+    lon = np.linspace(0, 360 - 360 / Nx, Nx)
+    q = (np.sin(np.deg2rad(lat))[:, None]
+         + 0.15 * rng.standard_normal((Ny, Nx)))
+    q[12:30, 20:26] = np.nan                      # an all-NaN window exists
+    with config.use_pallas_scope(False):
+        want, wy, wx = local_contour_lengths(jnp.asarray(q), jnp.asarray(lat),
+                                             jnp.asarray(lon), window=17,
+                                             stride=5, latlon=True)
+    tr = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P(None, "x")))
+    got, gy, gx = sharded_local_lengths(tr, jnp.asarray(lat), jnp.asarray(lon),
+                                        mesh, window=17, stride=5, latlon=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(wy))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx))
+
+
+def test_sharded_local_lengths_x_heavy_mesh(mesh, rng):
+    """The same path on a 1x8 x-heavy mesh (all devices on the window axis)."""
+    from xcontour_tpu.parallel import sharded_local_lengths
+    from xcontour_tpu.diagnostics.local_length import local_contour_lengths
+    from xcontour_tpu import config
+
+    mesh8 = make_mesh(8, x_size=8)
+    assert mesh8.shape["x"] == 8 and mesh8.shape["batch"] == 1
+    Ny, Nx = 24, 48
+    lat = np.linspace(-60, 60, Ny)
+    lon = np.linspace(0, 360 - 360 / Nx, Nx)
+    q = (np.sin(np.deg2rad(lat))[:, None]
+         + 0.1 * rng.standard_normal((Ny, Nx)))
+    with config.use_pallas_scope(False):
+        want, _, _ = local_contour_lengths(jnp.asarray(q), jnp.asarray(lat),
+                                           jnp.asarray(lon), window=9,
+                                           stride=4, latlon=False)
+    got, _, _ = sharded_local_lengths(jnp.asarray(q), jnp.asarray(lat),
+                                      jnp.asarray(lon), mesh8, window=9,
+                                      stride=4, latlon=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, equal_nan=True)

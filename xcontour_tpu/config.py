@@ -34,6 +34,21 @@ def use_pallas() -> bool:
         return False
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def use_pallas_scope(value: Optional[bool]):
+    """Temporarily force Pallas kernels on/off within a block."""
+    global _OVERRIDE
+    prev = _OVERRIDE
+    _OVERRIDE = value
+    try:
+        yield
+    finally:
+        _OVERRIDE = prev
+
+
 _LWA_FAST_OVERRIDE: Optional[bool] = None
 
 
