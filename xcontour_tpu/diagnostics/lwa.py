@@ -22,7 +22,7 @@ lookup, and a total: O(Ny*Nx*log Ny) instead of O(Ny^2*Nx).  The result is
 identical to the pairwise form up to float summation order (verified exactly
 in float64, see tests/test_lwa_fast.py).  W+/W- part selections multiply the
 two indicators and stay on the pairwise paths.  In practice the dense
-VMEM-resident Pallas kernel still wins below Ny ~ 1500 (see
+VMEM-resident Pallas kernel still wins below Ny ~ 6000 (see
 _FAST_NY_CROSSOVER), so 'auto' reserves the linearized path for tall
 equivalent dims; method='fast' forces it.
 
@@ -302,13 +302,15 @@ def _lwa_via_fast(q, Q, W, increase: bool, variant2: bool):
     return out.reshape(batch + (Ny, Nx))
 
 
-# Measured on v5e (bench hardware): the dense VMEM-resident Pallas kernel
-# runs at ~40-46% VPU peak, so despite doing O(Ny^2*Nx) work it beats the
-# O(Ny*Nx*log^2 Ny) sort/merge path until Ny ~ 1500 (XLA's bitonic sort costs
-# ~log^2 Ny passes; 2.3 ms dense vs 10.2 ms fast at 32x256x512, 9.9 vs 16.2 ms
-# at 4x721x1440).  The same ordering holds on CPU.  The linearized path is
-# the asymptotic winner for tall equivalent dims only.
-_FAST_NY_CROSSOVER = 1536
+# Measured on v5e (bench hardware, 4xNyx512 f32): the dense VMEM-resident
+# linearized Pallas kernel beats the O(Ny*Nx*log^2 Ny) sort/merge path far
+# longer than its O(Ny^2*Nx) op count suggests — its effective rate IMPROVES
+# with Ny as the fixed prep passes amortize, while XLA's bitonic sort pays
+# ~log^2 Ny high-constant passes.  Hardware ladder (lin vs fast, ms):
+# Ny=2048 11.8/14.2, 3072 26.2/33.0, 4096 29.9/37.2, 6144 66.2/63.2,
+# 8192 123.3/81.4 — the sort path first wins at Ny ~ 6k.  (The round-2
+# value 1536 was extrapolated from 256/721-row growth rates and wrong.)
+_FAST_NY_CROSSOVER = 6144
 
 
 def _resolve_method(method: str, part: str, ny: int) -> str:
@@ -320,7 +322,7 @@ def _resolve_method(method: str, part: str, ny: int) -> str:
     'dense' — pairwise 3-valued-mask kernels, reference summation order
               (f32 ~1e-6); any part.
     'fast'  — sort-merge O(Ny log Ny) XLA path; wins only for tall
-              equivalent dims (measured crossover Ny ~ 1500); part='all'.
+              equivalent dims (measured crossover Ny ~ 6000); part='all'.
     'auto'  — 'dense' for part selections, 'fast' above the crossover,
               'lin' otherwise.  config.set_lwa_fast(False) removes 'fast'
               from auto selection."""
