@@ -165,3 +165,23 @@ def test_runner_checkify_guard_surfaces_in_record(tmp_path, rng):
         rec = _json.load(f)
     assert "monotonic" in rec["error"]
     assert rec["chunk"] == 1 and rec["nvalid"] == 4
+
+
+def test_contour2d_check_mono_unified():
+    """The object API's opt-in guard routes through checks.check_monotonic:
+    eager calls raise immediately on a degenerate (constant) tracer whose
+    area table has zero differences; check_mono=False stays silent (VERDICT
+    r2 weak-7 unification — no full-array host sync in the guard)."""
+    from xcontour_tpu.core import Contour2D
+    Ny, Nx = 8, 12
+    dA = np.ones((Ny, Nx))
+    ydef = np.linspace(-60, 60, Ny)
+    flat = np.ones((Ny, Nx))          # constant tracer -> constant integrals
+    c = Contour2D.from_arrays(flat, dA, ydef, increase=True, lt=True,
+                              check_mono=True, dtype=jnp.float64)
+    ctr = jnp.linspace(0.0, 2.0, 5)
+    with pytest.raises(Exception, match="monotonic"):
+        c.cal_integral_within_contours(ctr)
+    c2 = Contour2D.from_arrays(flat, dA, ydef, increase=True, lt=True,
+                               check_mono=False, dtype=jnp.float64)
+    c2.cal_integral_within_contours(ctr)  # silent

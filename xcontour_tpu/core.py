@@ -537,10 +537,13 @@ class Contour2D:
 
     # -- checks -----------------------------------------------------------
     def _maybe_check_mono(self, var):
+        """Opt-in monotonicity guard (reference core.py:144-145, 1328-1355),
+        unified on utils.checks.check_monotonic: eagerly it raises
+        immediately (only the boolean predicate syncs, not the array); under
+        ``checkify.checkify`` the same check defers to a structured error, so
+        checked pipelines stay fully async.  For the offending index, use
+        utils.checks.assert_monotonic_host."""
         if not self.check_mono:
             return
-        arr = np.asarray(var)
-        d = np.diff(arr, axis=-1)
-        if np.any(d == 0):
-            raise ValueError("not monotonic along the contour axis "
-                             f"(first offence at {np.argwhere(d == 0)[0]})")
+        from .utils.checks import check_monotonic
+        check_monotonic(var, axis=-1, name="contour-axis values")
