@@ -47,77 +47,6 @@ _RB = 16  # cell rows per block (multiple of the f32 sublane width).
 # the tighter pretest).  RB=16 keeps the better model margin at ~same time.
 
 
-def _seg_endpoints(level, v00, v01, v10, v11):
-    """Case classification + endpoint selection (no transcendentals)."""
-    a00 = v00 > level
-    a01 = v01 > level
-    a10 = v10 > level
-    a11 = v11 > level
-
-    def frac(va, vb):
-        d = vb - va
-        return jnp.where(d == 0, 0.0, (level - va) / jnp.where(d == 0, 1.0, d))
-
-    ft = frac(v00, v01)
-    fb = frac(v10, v11)
-    fl = frac(v00, v10)
-    fr = frac(v01, v11)
-
-    iso00 = (a00 != a01) & (a00 != a10) & (a01 == a11)
-    iso01 = (a01 != a00) & (a01 != a11) & (a00 == a10)
-    iso10 = (a10 != a00) & (a10 != a11) & (a00 == a01)
-    iso11 = (a11 != a01) & (a11 != a10) & (a01 == a00)
-    horiz = (a00 == a01) & (a10 == a11) & (a00 != a10)
-    verti = (a00 == a10) & (a01 == a11) & (a00 != a01)
-    sad_main = a00 & a11 & ~a01 & ~a10
-    sad_anti = a01 & a10 & ~a00 & ~a11
-    exists1 = (iso00 | iso01 | iso10 | iso11 | horiz | verti |
-               sad_main | sad_anti)
-    saddle = sad_main | sad_anti
-    return dict(ft=ft, fb=fb, fl=fl, fr=fr, iso00=iso00, iso01=iso01,
-                iso10=iso10, iso11=iso11, horiz=horiz, verti=verti,
-                sad_main=sad_main, exists1=exists1, saddle=saddle)
-
-
-def _block_length(level, v00, v01, v10, v11, y0, y1, x0, x1, valid,
-                  latlon: bool):
-    c = _seg_endpoints(level, v00, v01, v10, v11)
-    top = (y0, x0 + c["ft"] * (x1 - x0))
-    bot = (y1, x0 + c["fb"] * (x1 - x0))
-    lef = (y0 + c["fl"] * (y1 - y0), x0)
-    rig = (y0 + c["fr"] * (y1 - y0), x1)
-
-    def sel(cond, p, q):
-        return (jnp.where(cond, p[0], q[0]), jnp.where(cond, p[1], q[1]))
-
-    if latlon:
-        def asin_small(z):
-            # Mosaic has no asin lowering; per-cell haversine arguments are
-            # tiny (z = sin(d/2) <= ~0.05 for cells up to ~5 deg), where the
-            # odd Maclaurin series through z^7 is exact to ~1e-12 relative
-            z2 = z * z
-            return z * (1.0 + z2 * (1.0 / 6.0 + z2 * (3.0 / 40.0 +
-                                                      z2 * (15.0 / 336.0))))
-
-        def seglen(p, q):
-            dlon = q[1] - p[1]
-            dlat = q[0] - p[0]
-            a = (jnp.sin(dlat * 0.5) ** 2 +
-                 jnp.cos(p[0]) * jnp.cos(q[0]) * jnp.sin(dlon * 0.5) ** 2)
-            return 2.0 * asin_small(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
-    else:
-        def seglen(p, q):
-            return jnp.hypot(p[0] - q[0], p[1] - q[1])
-
-    p1 = sel(c["horiz"], lef, sel(c["iso10"] | c["iso11"], bot, top))
-    q1 = sel(c["iso00"] | c["iso10"] | c["sad_main"], lef,
-             sel(c["verti"], bot, rig))
-    L = jnp.where(c["exists1"] & valid, seglen(p1, q1), 0.0)
-    q2 = sel(c["sad_main"], rig, lef)
-    L = L + jnp.where(c["saddle"] & valid, seglen(bot, q2), 0.0)
-    return jnp.sum(L)
-
-
 def _sin_small(u):
     """sin(u) for |u| <= ~0.45 rad (cell-sized angles): odd Maclaurin through
     u^7 — truncation < 2e-9 relative at u=0.45, far below f32 eps."""
@@ -400,16 +329,32 @@ def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
     return jnp.take_along_axis(out_s, inv_perm, axis=-1)
 
 
+
+
 def _local_kernel(lev_ref, v00_ref, v01_ref, v10_ref, v11_ref,
-                  y0_ref, y1_ref, x0_ref, x1_ref, valid_ref, out_ref, *,
+                  cy_ref, sy_ref, dy_ref, dx_ref, out_ref, *,
                   latlon: bool, wb: int):
     g = pl.program_id(0)
 
     def body(w, _):
         lev = lev_ref[g * wb + w]
-        cnt = _block_length(lev, v00_ref[w], v01_ref[w], v10_ref[w],
-                            v11_ref[w], y0_ref[w], y1_ref[w], x0_ref[w],
-                            x1_ref[w], valid_ref[w] > 0, latlon)
+        v00 = v00_ref[w]
+        v01 = v01_ref[w]
+        v10 = v10_ref[w]
+        v11 = v11_ref[w]
+        # each window is evaluated at ONE level, so there is nothing to
+        # amortize by precomputing reciprocals outside — compute the edge
+        # inverses (and the NaN-cell mask) here and keep VMEM for the
+        # corner panels (the 3-D row/col operands of the first cut padded
+        # every (.., 1) lane to 128 and OOM'd scoped vmem on hardware)
+        valid = ~(jnp.isnan(v00) | jnp.isnan(v01) | jnp.isnan(v10) |
+                  jnp.isnan(v11))
+        cnt = _offset_block_length(
+            lev, v00, v01, v10, v11,
+            _safe_inv(v01 - v00), _safe_inv(v11 - v10),
+            _safe_inv(v10 - v00), _safe_inv(v11 - v01),
+            cy_ref[w][:, None], sy_ref[w][:, None], dy_ref[w][:, None],
+            dx_ref[w][None, :], valid, latlon)
         # NaN level (empty window) -> NaN total; lanes broadcast, caller
         # reads lane 0
         cnt = jnp.where(jnp.isnan(lev), jnp.nan, cnt)
@@ -430,53 +375,50 @@ def local_lengths_pallas(patches: jax.Array, levels: jax.Array,
     xwin (nw, W) per-window coordinates (radians if latlon).  Returns (nw,)
     raw totals (0 when the level crosses nothing).  ``wb`` windows are
     evaluated per grid step so the per-step dispatch cost amortizes —
-    one tiny block per step measured ~24 us of pure overhead.
+    one tiny block per step measured ~24 us of pure overhead.  Uses the same
+    offset-form geometry as the global kernel (reciprocal edge denominators
+    and tabulated row trig precomputed outside; no in-loop divides or
+    full-range transcendentals).
     """
-    nw, W, _ = patches.shape
-    WC = W - 1
+    nw, Wn, _ = patches.shape
+    WC = Wn - 1
     pad_w = (-nw) % wb
     if pad_w:
         patches = jnp.concatenate(
-            [patches, jnp.full((pad_w, W, W), jnp.nan, patches.dtype)])
+            [patches, jnp.full((pad_w, Wn, Wn), jnp.nan, patches.dtype)])
         levels = jnp.concatenate(
             [levels, jnp.full((pad_w,), jnp.nan, levels.dtype)])
-        ywin = jnp.concatenate([ywin, jnp.zeros((pad_w, W), ywin.dtype)])
-        xwin = jnp.concatenate([xwin, jnp.zeros((pad_w, W), xwin.dtype)])
-    nwp = nw + pad_w
+        ywin = jnp.concatenate([ywin, jnp.zeros((pad_w, Wn), ywin.dtype)])
+        xwin = jnp.concatenate([xwin, jnp.zeros((pad_w, Wn), xwin.dtype)])
 
     v00 = patches[:, :-1, :-1]
     v01 = patches[:, :-1, 1:]
     v10 = patches[:, 1:, :-1]
     v11 = patches[:, 1:, 1:]
-    valid = (~(jnp.isnan(v00) | jnp.isnan(v01) | jnp.isnan(v10) |
-               jnp.isnan(v11))).astype(patches.dtype)
-    y0 = ywin[:, :-1, None]
-    y1 = ywin[:, 1:, None]
-    x0 = xwin[:, None, :-1]
-    x1 = xwin[:, None, 1:]
+    y0 = ywin[:, :-1]                                   # (nw, WC) 2-D
+    dyr = ywin[:, 1:] - y0
+    dxc = xwin[:, 1:] - xwin[:, :-1]
+    if latlon:
+        cy = jnp.cos(y0)
+        sy = jnp.sin(y0)
+    else:
+        cy = jnp.ones_like(y0)
+        sy = jnp.zeros_like(y0)
 
-    win_specs = [pl.BlockSpec((wb, WC, WC), lambda g, *_: (g, 0, 0),
-                              memory_space=pltpu.VMEM) for _ in range(5)]
-    coord_specs = [
-        pl.BlockSpec((wb, WC, 1), lambda g, *_: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((wb, WC, 1), lambda g, *_: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((wb, 1, WC), lambda g, *_: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((wb, 1, WC), lambda g, *_: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    big = pl.BlockSpec((wb, WC, WC), lambda g, *_: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((wb, WC), lambda g, *_: (g, 0),
+                       memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nwp // wb,),
-        in_specs=win_specs[:4] + coord_specs + win_specs[4:],
+        grid=((nw + pad_w) // wb,),
+        in_specs=[big] * 4 + [vec] * 4,
         out_specs=pl.BlockSpec((wb, 128), lambda g, *_: (g, 0)),
     )
     out = pl.pallas_call(
         partial(_local_kernel, latlon=latlon, wb=wb),
-        out_shape=jax.ShapeDtypeStruct((nwp, 128), patches.dtype),
+        out_shape=jax.ShapeDtypeStruct((nw + pad_w, 128), patches.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(levels, v00, v01, v10, v11, y0, y1, x0, x1, valid)
+    )(levels, v00, v01, v10, v11, cy, sy, dyr, dxc)
     return out[:nw, 0]
