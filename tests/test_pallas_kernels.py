@@ -220,3 +220,48 @@ def test_stencil_kernel_matches_xla(rng, periodic, bc_y):
     qy, qx = gradient(jnp.asarray(q), grid, bc_y=bc_y)
     want = np.asarray(qx * qx + qy * qy)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_length_kernel_coarse_cells_series_margin(rng):
+    """The offset-form geodesics use small-angle Maclaurin series whose
+    domain must cover the COARSEST cells any workload produces — the fractal
+    ladder coarsens the 0.7-degree global grid by strides up to 32, i.e.
+    ~22.5-degree (0.39 rad) cells.  Pin f64 interpreter parity vs the
+    reference-haversine oracle at that scale so a truncated term can't
+    silently reappear."""
+    from xcontour_tpu.kernels.length_pallas import contour_lengths_pallas
+    Ny, Nx, N = 9, 17, 7                      # 22.5 x 22.5 degree cells
+    y = np.linspace(-90, 90, Ny)
+    x = np.linspace(0, 360, Nx)
+    d = np.cumsum(rng.normal(size=(Ny, Nx)), axis=0) \
+        + 0.5 * rng.normal(size=(Ny, Nx))
+    levels = np.linspace(d.min(), d.max(), N)
+    got = np.asarray(contour_lengths_pallas(
+        jnp.asarray(d[None]), jnp.asarray(levels[None]),
+        jnp.asarray(np.deg2rad(y)), jnp.asarray(np.deg2rad(x)),
+        latlon=True, interpret=True))[0]
+    want = compat.contour_lengths(d, levels, y, x, latlon=True, Rearth=1.0)
+    want = np.where(np.isnan(want), 0.0, want)
+    np.testing.assert_allclose(got, want, rtol=2e-7, atol=1e-12)
+
+
+def test_local_length_kernel_coarse_cells_series_margin(rng):
+    """Same truncation guard for the per-window kernel (shares the offset
+    geometry helpers)."""
+    from xcontour_tpu.kernels.length_pallas import local_lengths_pallas
+    W = 9
+    y = np.linspace(-80, 80, W)
+    x = np.linspace(10, 190, W)               # 20 x 22.5 degree cells
+    nw = 3
+    patches = np.cumsum(rng.normal(size=(nw, W, W)), axis=1)
+    lv = np.asarray([np.mean(p) for p in patches])
+    got = np.asarray(local_lengths_pallas(
+        jnp.asarray(patches), jnp.asarray(lv),
+        jnp.asarray(np.deg2rad(np.tile(y, (nw, 1)))),
+        jnp.asarray(np.deg2rad(np.tile(x, (nw, 1)))),
+        latlon=True, interpret=True))
+    for k in range(nw):
+        want = compat.contour_lengths(patches[k], lv[k:k + 1], y, x,
+                                      latlon=True, Rearth=1.0)[0]
+        want = 0.0 if np.isnan(want) else want
+        np.testing.assert_allclose(got[k], want, rtol=2e-7, atol=1e-12)
