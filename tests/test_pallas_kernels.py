@@ -265,3 +265,28 @@ def test_local_length_kernel_coarse_cells_series_margin(rng):
                                       latlon=True, Rearth=1.0)[0]
         want = 0.0 if np.isnan(want) else want
         np.testing.assert_allclose(got[k], want, rtol=2e-7, atol=1e-12)
+
+
+def test_length_kernel_level_order_invariance(rng):
+    """The kernel sorts levels internally and unsorts the results — a
+    decreasing or shuffled level vector (increase=False contours) must give
+    the exact permutation of the ascending answer."""
+    from xcontour_tpu.kernels.length_pallas import contour_lengths_pallas
+    Ny, Nx, N = 20, 30, 9
+    y = np.linspace(-60, 60, Ny)
+    x = np.linspace(0, 348, Nx)
+    d = np.cumsum(rng.normal(size=(1, Ny, Nx)), axis=1)
+    up = np.linspace(d.min(), d.max(), N)
+    perm = rng.permutation(N)
+    args = (jnp.asarray(np.deg2rad(y)), jnp.asarray(np.deg2rad(x)))
+    ref = np.asarray(contour_lengths_pallas(
+        jnp.asarray(d), jnp.asarray(up[None]), *args, latlon=True,
+        interpret=True))[0]
+    down = np.asarray(contour_lengths_pallas(
+        jnp.asarray(d), jnp.asarray(up[::-1].copy()[None]), *args,
+        latlon=True, interpret=True))[0]
+    shuf = np.asarray(contour_lengths_pallas(
+        jnp.asarray(d), jnp.asarray(up[perm][None]), *args, latlon=True,
+        interpret=True))[0]
+    np.testing.assert_array_equal(down, ref[::-1])
+    np.testing.assert_array_equal(shuf, ref[perm])
