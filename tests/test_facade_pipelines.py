@@ -106,3 +106,33 @@ def test_add_latlon_metrics_full_staggered_set(vorticity):
     r = metrics["rAs"][50:-50] / metrics["rA"][50:-50]
     assert np.nanmax(np.abs(r - 1)) < 0.02
     np.testing.assert_allclose(metrics["drF"], [15.0, 15.0, 15.0])
+
+
+def test_pipelines_accept_precomputed_table(vorticity):
+    import jax
+    """The A(Y_eq) table is tracer-independent; passing a precomputed table
+    must give bit-identical results in every pipeline family."""
+    from xcontour_tpu import core, grid as G
+    from xcontour_tpu.pipeline import (keff_pipeline, lwa_pipeline,
+                                       keff_lwa_pipeline, clength_pipeline,
+                                       fractal_pipeline)
+    lat, lon, vor = vorticity
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    tr = jnp.asarray(vor[None])
+    mask = grid.fluid_mask(tr.dtype)
+    table = core.cal_area_eqCoord_table_hist(
+        mask, grid.ydef.astype(tr.dtype), grid.dA.astype(tr.dtype),
+        increase=True, lt=True)
+
+    for fn, kw in ((keff_pipeline, dict(N=9, lmin="analytic")),
+                   (lwa_pipeline, dict(N=9)),
+                   (keff_lwa_pipeline, dict(N=9, lmin="analytic")),
+                   (clength_pipeline, dict(N=9)),
+                   (fractal_pipeline, dict(N=9, strides=(1, 2)))):
+        plain = fn(tr, grid, increase=True, lt=True, **kw)
+        reused = fn(tr, grid, increase=True, lt=True, table=table, **kw)
+        flat_p = jax.tree_util.tree_leaves(plain)
+        flat_r = jax.tree_util.tree_leaves(reused)
+        for a, b in zip(flat_p, flat_r):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=fn.__name__)

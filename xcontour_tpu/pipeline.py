@@ -33,7 +33,8 @@ def keff_pipeline(tracer: jax.Array, grid: Grid, grdS: Optional[jax.Array] = Non
                   mask: Optional[jax.Array] = None,
                   pre_y: Optional[jax.Array] = None, *, N: int = 251,
                   increase: bool = True, lt: bool = True, hist: bool = True,
-                  lmin: str = "dxF", nkeff_mask: float = 2e7) -> dict:
+                  lmin: str = "dxF", nkeff_mask: float = 2e7,
+                  table: Optional[core.Table] = None) -> dict:
     """Full effective-diffusivity chain on (..., Ny, Nx) snapshots.
 
     Mirrors reference tests/test_hist.py:16-101: contours -> conditional
@@ -55,14 +56,16 @@ def keff_pipeline(tracer: jax.Array, grid: Grid, grdS: Optional[jax.Array] = Non
 
     ctr = core.cal_contours(tracer, N, increase=increase)
     if hist:
-        table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
-                                                 increase=increase, lt=lt)
+        if table is None:
+            table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
+                                                     increase=increase, lt=lt)
         # both conditional integrals share one digitize pass on TPU
         from .ops.histogram import weighted_cdf_multi
         intArea, intgrdS = weighted_cdf_multi(tracer, ctr, [dA, grdS * dA], lt)
     else:
-        table = core.cal_area_eqCoord_table(mask, ydef, dA,
-                                            increase=increase, lt=lt)
+        if table is None:
+            table = core.cal_area_eqCoord_table(mask, ydef, dA,
+                                                increase=increase, lt=lt)
         intArea = core.cal_integral_within_contours(tracer, ctr, dA, lt=lt)
         intgrdS = core.cal_integral_within_contours(tracer, ctr, dA, grdS,
                                                     lt=lt)
@@ -104,7 +107,8 @@ def lwa_pipeline(tracer: jax.Array, grid: Grid,
                  mask: Optional[jax.Array] = None, *, N: int = 121,
                  increase: bool = True, lt: bool = True,
                  part: str = "all", metric: str = "dA",
-                 lwa_method: str = "auto") -> dict:
+                 lwa_method: str = "auto",
+                 table: Optional[core.Table] = None) -> dict:
     """Sorted-state + local wave activity chain (tests/test_LWA.py:48-87):
     contours -> areas -> latEq -> sorted profile Q on the grid latitudes ->
     LWA and the impulse-Casimir variant.
@@ -132,8 +136,9 @@ def lwa_pipeline(tracer: jax.Array, grid: Grid,
     if mask is None:
         mask = grid.fluid_mask(tracer.dtype)
 
-    table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
-                                             increase=increase, lt=lt)
+    if table is None:
+        table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
+                                                 increase=increase, lt=lt)
     ctr = core.cal_contours(tracer, N, increase=increase)
     intArea = core.cal_integral_within_contours_hist(tracer, ctr, dA, lt=lt)
     latEq = table.lookup_coordinates(intArea)
@@ -160,11 +165,19 @@ def keff_lwa_pipeline(tracer: jax.Array, grid: Grid,
                       increase: bool = True, lt: bool = True,
                       lmin: str = "analytic", metric: str = "dA",
                       with_lwa2: bool = False,
-                      lwa_method: str = "auto") -> dict:
+                      lwa_method: str = "auto",
+                      table: Optional[core.Table] = None) -> dict:
     """The flagship combined step: full Keff chain + LWA from one shared
     sorted state (table, contours, areas computed once).  This is the
     BASELINE.json north-star workload — Keff + LWA over batches of global PV
-    snapshots — as a single fused XLA program."""
+    snapshots — as a single fused XLA program.
+
+    ``table``: every pipeline accepts a precomputed A(Y_eq) table (a pytree,
+    jit-friendly).  The table depends only on (mask, ydef, dA) — not the
+    tracer — so production loops over many snapshots should build it once
+    with core.cal_area_eqCoord_table_hist and pass it in; at ERA5 scale the
+    in-pipeline rebuild is a 721-bin weighted CDF over the full grid per
+    call."""
     ydef = grid.ydef.astype(tracer.dtype)
     dA = grid.dA.astype(tracer.dtype)
     if mask is None:
@@ -172,8 +185,9 @@ def keff_lwa_pipeline(tracer: jax.Array, grid: Grid,
     if grdS is None:
         grdS = squared_gradient(tracer, grid)
 
-    table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
-                                             increase=increase, lt=lt)
+    if table is None:
+        table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
+                                                 increase=increase, lt=lt)
     ctr = core.cal_contours(tracer, N, increase=increase)
     # area and |grad q|^2 integrals share one digitize pass on TPU
     from .ops.histogram import weighted_cdf_multi
@@ -214,7 +228,8 @@ def keff_lwa_pipeline(tracer: jax.Array, grid: Grid,
 @partial(jax.jit, static_argnames=("N", "increase", "lt"))
 def clength_pipeline(tracer: jax.Array, grid: Grid,
                      mask: Optional[jax.Array] = None, *, N: int = 121,
-                     increase: bool = True, lt: bool = True) -> dict:
+                     increase: bool = True, lt: bool = True,
+                     table: Optional[core.Table] = None) -> dict:
     """Contour-length workload (reference tests/test_clength.py:74-108):
     perimeter lengths L, equivalent length L_eq, minimum length L_min, and
     the Cauchy-Schwarz contour means of |grad q| and 1/|grad q|.
@@ -230,8 +245,9 @@ def clength_pipeline(tracer: jax.Array, grid: Grid,
     grdS = qx * qx + qy * qy
     grdm = jnp.sqrt(grdS)
 
-    table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
-                                             increase=increase, lt=lt)
+    if table is None:
+        table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
+                                                 increase=increase, lt=lt)
     ctr = core.cal_contours(tracer, N, increase=increase)
     intArea = core.cal_integral_within_contours_hist(tracer, ctr, dA, lt=lt)
     intgrdS = core.cal_integral_within_contours_hist(tracer, ctr, dA, grdS,
@@ -259,7 +275,8 @@ def clength_pipeline(tracer: jax.Array, grid: Grid,
 
 def fractal_pipeline(tracer: jax.Array, grid: Grid, *, N: int = 121,
                      strides=(1, 2, 4, 8, 16, 32), increase: bool = True,
-                     lt: bool = True, box_counting: bool = True) -> dict:
+                     lt: bool = True, box_counting: bool = True,
+                     table: Optional[core.Table] = None) -> dict:
     """Fractal-dimension workload (reference tests/test_fractal.py:52-115):
     contour lengths on a ladder of grid coarsenings (and optionally
     box-counting crossing lengths), log-log slope -> D per contour.
@@ -271,8 +288,9 @@ def fractal_pipeline(tracer: jax.Array, grid: Grid, *, N: int = 121,
     dA = grid.dA.astype(tracer.dtype)
     mask = grid.fluid_mask(tracer.dtype)
 
-    table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
-                                             increase=increase, lt=lt)
+    if table is None:
+        table = core.cal_area_eqCoord_table_hist(mask, ydef, dA,
+                                                 increase=increase, lt=lt)
     ctr = core.cal_contours(tracer, N, increase=increase)
     intArea = core.cal_integral_within_contours_hist(tracer, ctr, dA, lt=lt)
     Yeq = table.lookup_coordinates(intArea)
