@@ -454,6 +454,23 @@ def workload_matrix(lat, lon, vor):
     per = device_time(stepE, trE, reps=6)
     out["era5_keff_lwa_sps"] = round(BE / per, 1)
 
+    # production-loop variant: the A(Y_eq) table is tracer-independent, so
+    # real archive sweeps build it once and pass it in (same convention as
+    # the reference drivers, which construct the grid/metrics once)
+    from xcontour_tpu import core as _core
+    maskE = gridE.fluid_mask(jnp.float32)
+    tableE = _core.cal_area_eqCoord_table_hist(
+        maskE, gridE.ydef.astype(jnp.float32), gridE.dA.astype(jnp.float32),
+        increase=True, lt=True)
+
+    @jax.jit
+    def stepE2(t):
+        o = keff_lwa_pipeline(t, gridE, N=241, increase=True, lt=True,
+                              lmin="analytic", table=tableE)
+        return t + 1e-30 * (o["lwa"] + o["nkeff"][..., 0, None, None])
+    per = device_time(stepE2, trE, reps=6)
+    out["era5_keff_lwa_table_reuse_sps"] = round(BE / per, 1)
+
     # year of daily PV end-to-end through the batch runner (incl. host IO)
     from xcontour_tpu.runner import run_batched
     year = (vor[None] * (1 + 1e-3 * rng.standard_normal((365, 1, 1)))

@@ -66,6 +66,47 @@ def test_lwa_adjoint_matches_finite_differences(rng):
     assert checked >= 2
 
 
+def test_pallas_path_adjoint_matches_xla(rng, monkeypatch):
+    """jax.grad flows through the TPU (Pallas) execution path: the custom
+    VJPs in ops/histogram.py and diagnostics/lwa.py differentiate the XLA
+    twins, so the Pallas-forward gradient must equal the pure-XLA gradient
+    (interpret mode stands in for the TPU backend on the CPU mesh)."""
+    import importlib
+    from xcontour_tpu import config
+    import xcontour_tpu.kernels.hist_pallas as hk
+    lk = importlib.import_module("xcontour_tpu.kernels.lwa_pallas")
+
+    Ny, Nx = 16, 32
+    lat = np.linspace(-70, 70, Ny)
+    lon = np.linspace(0, 360 - 360 / Nx, Nx)
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    mask = jnp.ones((Ny, Nx))
+    v = jnp.asarray(np.sin(np.deg2rad(lat))[:, None]
+                    + 0.05 * rng.standard_normal((Ny, Nx)))
+
+    loss = _loss_chain(grid, mask)
+    l_xla = float(loss(v))
+    g_xla = np.asarray(jax.grad(loss)(v))
+
+    orig_h = hk.histogram_pallas_multi
+    monkeypatch.setattr(hk, "histogram_pallas_multi",
+                        lambda *a, **k: orig_h(*a, interpret=True, **k))
+    orig_l = lk.lwa_pallas
+    monkeypatch.setattr(lk, "lwa_pallas",
+                        lambda *a, **k: orig_l(*a, interpret=True, **k))
+    config.set_use_pallas(True)
+    try:
+        g_pal = np.asarray(jax.grad(loss)(v))
+        # the forward itself must also agree (f64 interpret parity)
+        np.testing.assert_allclose(float(loss(v)), l_xla, rtol=1e-10)
+    finally:
+        config.set_use_pallas(None)
+    assert np.isfinite(g_pal).all()
+    # f64 roundoff from different summation orders scales with the field
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-8,
+                               atol=1e-12 * np.abs(g_xla).max())
+
+
 def test_adjoint_through_batched_pipeline_is_finite(rng):
     """grad flows through a batched call (vmapped internals, both CDF
     channels) without NaN poisoning."""

@@ -256,7 +256,7 @@ def test_default_path_noise_floor_policy(rng, vorticity):
     got_dense = np.asarray(lwa_mod._lwa_impl(
         q32, Q32, jnp.asarray(dA, jnp.float32), jnp.asarray(lat, jnp.float32),
         increase=True, part="all", chunk=16, weight=None,
-        method="dense"))[0]
+        method="dense", use_pallas=False))[0]
     err_dense = np.nanmax(np.abs(got_dense - want)) / scale
     assert err_dense < 5e-6      # 'dense' keeps reference-order ~1e-6 f32
     # and the documented ordering: dense is the accuracy opt-out

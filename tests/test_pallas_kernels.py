@@ -32,14 +32,14 @@ def test_hist_kernel_matches_oracle(rng, lt, decreasing):
     # drive through the pallas wrapper path (ascending edges + flip)
     from xcontour_tpu.ops.histogram import _cdf_batched_pallas
     import xcontour_tpu.kernels.hist_pallas as hk
-    orig = hk.histogram_pallas
-    hk.histogram_pallas = lambda *a, **k: orig(*a, interpret=True, **k)
+    orig = hk.histogram_pallas_multi
+    hk.histogram_pallas_multi = lambda *a, **k: orig(*a, interpret=True, **k)
     try:
         bf = jnp.asarray(np.stack([o[0] for o in outs]))
         got = _cdf_batched_pallas(jnp.asarray(v), bf,
                                   jnp.asarray(np.where(np.isnan(w), 0, w)), lt)
     finally:
-        hk.histogram_pallas = orig
+        hk.histogram_pallas_multi = orig
     for b in range(B):
         np.testing.assert_allclose(np.asarray(got[b]), outs[b][1], rtol=1e-10,
                                    err_msg=f"b={b}")
@@ -87,15 +87,15 @@ def test_weighted_cdf_pallas_switch(rng):
     bins = np.linspace(v.min(), v.max(), 9)
     want = weighted_cdf(jnp.asarray(v), jnp.asarray(bins), jnp.asarray(w), True)
     import xcontour_tpu.kernels.hist_pallas as hk
-    orig = hk.histogram_pallas
-    hk.histogram_pallas = lambda *a, **k: orig(*a, interpret=True, **k)
+    orig = hk.histogram_pallas_multi
+    hk.histogram_pallas_multi = lambda *a, **k: orig(*a, interpret=True, **k)
     config.set_use_pallas(True)
     try:
         got = weighted_cdf(jnp.asarray(v), jnp.asarray(bins), jnp.asarray(w),
                            True)
     finally:
         config.set_use_pallas(None)
-        hk.histogram_pallas = orig
+        hk.histogram_pallas_multi = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-10)
 
 

@@ -17,9 +17,17 @@ _OVERRIDE: Optional[bool] = None
 
 
 def set_use_pallas(value: Optional[bool]) -> None:
-    """Force Pallas kernels on/off; None restores auto-detection."""
+    """Force Pallas kernels on/off; None restores auto-detection.
+
+    Jitted entry points read this flag at trace time, so a flip that
+    changes the effective backend invalidates every cached trace — the
+    caches are cleared here (cheap relative to the silent alternative:
+    reusing a trace that contains the other backend's kernels)."""
     global _OVERRIDE
+    old = use_pallas()
     _OVERRIDE = value
+    if use_pallas() != old:
+        jax.clear_caches()
 
 
 def use_pallas() -> bool:
@@ -40,13 +48,12 @@ import contextlib
 @contextlib.contextmanager
 def use_pallas_scope(value: Optional[bool]):
     """Temporarily force Pallas kernels on/off within a block."""
-    global _OVERRIDE
     prev = _OVERRIDE
-    _OVERRIDE = value
+    set_use_pallas(value)
     try:
         yield
     finally:
-        _OVERRIDE = prev
+        set_use_pallas(prev)
 
 
 _LWA_FAST_OVERRIDE: Optional[bool] = None

@@ -86,6 +86,60 @@ def _lwa_via_pallas(q, Q, W, increase: bool, part: str, variant2: bool,
     return out.reshape(batch + (Ny, Nx))
 
 
+def _lwa_dense_xla(q, Q, W, ydef, *, increase: bool, part: str,
+                   variant2: bool, chunk: int):
+    """The chunked dense (pairwise 3-valued-mask) XLA form, shared by the
+    off-TPU execution path and the custom-VJP backward of the Pallas
+    forward (the reference summation, core.py:752-793 / 860-890)."""
+    coord_incre = ydef[-1] > ydef[0]
+
+    if variant2:
+        def one(j):
+            qj = jnp.take(q, j, axis=-2)                  # (..., Nx)
+            qe = qj[..., None, :] - Q[..., :, None]       # (..., Ny, Nx)
+            yj = ydef[j]
+            m = jnp.where(coord_incre, ydef >= yj, ydef <= yj)[:, None]
+            mask = _part_select(_mask3(qe, m, not increase), part, increase)
+            return -jnp.nansum(qe * mask * W, axis=-2)
+    else:
+        def one(j):
+            Qj = jnp.take(Q, j, axis=-1)
+            yj = ydef[j]
+            qe = q - Qj[..., None, None]
+            m = jnp.where(coord_incre, ydef >= yj, ydef <= yj)[:, None]
+            mask = _part_select(_mask3(qe, m, increase), part, increase)
+            return -jnp.nansum(qe * mask * W, axis=-2)
+
+    lwa = _chunked_over_surfaces(one, ydef.shape[0], chunk)  # (Ny, ..., Nx)
+    return jnp.moveaxis(lwa, 0, -2)
+
+
+def _lwa_pallas_ad(q, Q, W, ydef, *, increase: bool, part: str,
+                   variant2: bool, pairwise: bool, chunk: int):
+    """Pallas forward with the dense XLA twin's VJP: Pallas calls have no AD
+    rule, so jax.grad through the TPU LWA path differentiates the
+    mathematically-identical dense form instead (FD-validated on CPU by
+    tests/test_differentiable.py)."""
+    @jax.custom_vjp
+    def f(q, Q, W, ydef):
+        return _lwa_via_pallas(q, Q, W, increase, part, variant2,
+                               pairwise=pairwise)
+
+    def fwd(q, Q, W, ydef):
+        return f(q, Q, W, ydef), (q, Q, W, ydef)
+
+    def bwd(res, g):
+        qr, Qr, Wr, yr = res
+        _, vjp = jax.vjp(
+            lambda a, b, c, d: _lwa_dense_xla(a, b, c, d, increase=increase,
+                                              part=part, variant2=variant2,
+                                              chunk=chunk), qr, Qr, Wr, yr)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f(q, Q, W, ydef)
+
+
 def _lwa_lin_xla(q, Q, W, increase: bool, variant2: bool, chunk: int):
     """XLA twin of the linearized Pallas kernels (kernels/lwa_pallas.py
     _kernel_lin[2]): the E t-term from the telescoping recurrence + a
@@ -342,60 +396,46 @@ def _resolve_method(method: str, part: str, ny: int) -> str:
     return method
 
 
-@partial(jax.jit, static_argnames=("increase", "part", "chunk", "method"))
+@partial(jax.jit, static_argnames=("increase", "part", "chunk", "method",
+                                   "use_pallas"))
 def _lwa_impl(q, Q, dA, ydef, *, increase: bool, part: str, chunk: int,
-              weight, method: str):
+              weight, method: str, use_pallas: bool):
     wei_dA = dA / jnp.nanmax(dA) * dA if weight is None else weight
     if method == "fast":
         return _lwa_via_fast(q, Q, wei_dA, increase, False)
     if method == "lin":
-        if _pallas_ok(q):
-            return _lwa_via_pallas(q, Q, wei_dA, increase, part, False,
-                                   pairwise=False)
+        if use_pallas:
+            return _lwa_pallas_ad(q, Q, wei_dA, ydef, increase=increase,
+                                  part=part, variant2=False, pairwise=False,
+                                  chunk=chunk)
         return _lwa_lin_xla(q, Q, wei_dA, increase, False, chunk)
-    if _pallas_ok(q):
-        return _lwa_via_pallas(q, Q, wei_dA, increase, part, False,
-                               pairwise=True)
-    coord_incre = ydef[-1] > ydef[0]
-
-    def one(j):
-        Qj = jnp.take(Q, j, axis=-1)
-        yj = ydef[j]
-        qe = q - Qj[..., None, None]
-        m = jnp.where(coord_incre, ydef >= yj, ydef <= yj)[:, None]
-        mask = _part_select(_mask3(qe, m, increase), part, increase)
-        return -jnp.nansum(qe * mask * wei_dA, axis=-2)
-
-    lwa = _chunked_over_surfaces(one, ydef.shape[0], chunk)  # (Ny, ..., Nx)
-    return jnp.moveaxis(lwa, 0, -2)
+    if use_pallas:
+        return _lwa_pallas_ad(q, Q, wei_dA, ydef, increase=increase,
+                              part=part, variant2=False, pairwise=True,
+                              chunk=chunk)
+    return _lwa_dense_xla(q, Q, wei_dA, ydef, increase=increase, part=part,
+                          variant2=False, chunk=chunk)
 
 
-@partial(jax.jit, static_argnames=("increase", "part", "chunk", "method"))
+@partial(jax.jit, static_argnames=("increase", "part", "chunk", "method",
+                                   "use_pallas"))
 def _lwa2_impl(q, Q, dA, ydef, *, increase: bool, part: str, chunk: int,
-               weight, method: str):
+               weight, method: str, use_pallas: bool):
     wei_dA = dA / jnp.nanmax(dA) * dA if weight is None else weight
     if method == "fast":
         return _lwa_via_fast(q, Q, wei_dA, increase, True)
     if method == "lin":
-        if _pallas_ok(q):
-            return _lwa_via_pallas(q, Q, wei_dA, increase, part, True,
-                                   pairwise=False)
+        if use_pallas:
+            return _lwa_pallas_ad(q, Q, wei_dA, ydef, increase=increase,
+                                  part=part, variant2=True, pairwise=False,
+                                  chunk=chunk)
         return _lwa_lin_xla(q, Q, wei_dA, increase, True, chunk)
-    if _pallas_ok(q):
-        return _lwa_via_pallas(q, Q, wei_dA, increase, part, True,
-                               pairwise=True)
-    coord_incre = ydef[-1] > ydef[0]
-
-    def one(j):
-        qj = jnp.take(q, j, axis=-2)                      # (..., Nx)
-        qe = qj[..., None, :] - Q[..., :, None]           # (..., Ny, Nx)
-        yj = ydef[j]
-        m = jnp.where(coord_incre, ydef >= yj, ydef <= yj)[:, None]
-        mask = _part_select(_mask3(qe, m, not increase), part, increase)
-        return -jnp.nansum(qe * mask * wei_dA, axis=-2)
-
-    lwa = _chunked_over_surfaces(one, ydef.shape[0], chunk)
-    return jnp.moveaxis(lwa, 0, -2)
+    if use_pallas:
+        return _lwa_pallas_ad(q, Q, wei_dA, ydef, increase=increase,
+                              part=part, variant2=True, pairwise=True,
+                              chunk=chunk)
+    return _lwa_dense_xla(q, Q, wei_dA, ydef, increase=increase, part=part,
+                          variant2=True, chunk=chunk)
 
 
 def local_wave_activity(q, Q, dA, ydef, *, increase: bool, part: str = "all",
@@ -420,8 +460,12 @@ def local_wave_activity(q, Q, dA, ydef, *, increase: bool, part: str = "all",
     """
     part = part.lower()
     method = _resolve_method(method, part, q.shape[-2])
+    # resolved OUTSIDE the jitted impl so the backend choice participates in
+    # the jit cache key (a runtime config/backend flip must not reuse a
+    # trace containing the other backend's kernels)
     return _lwa_impl(q, Q, dA, ydef, increase=increase, part=part,
-                     chunk=chunk, weight=weight, method=method)
+                     chunk=chunk, weight=weight, method=method,
+                     use_pallas=_pallas_ok(q))
 
 
 def local_wave_activity2(q, Q, dA, ydef, *, increase: bool, part: str = "all",
@@ -433,7 +477,8 @@ def local_wave_activity2(q, Q, dA, ydef, *, increase: bool, part: str = "all",
     part = part.lower()
     method = _resolve_method(method, part, q.shape[-2])
     return _lwa2_impl(q, Q, dA, ydef, increase=increase, part=part,
-                      chunk=chunk, weight=weight, method=method)
+                      chunk=chunk, weight=weight, method=method,
+                      use_pallas=_pallas_ok(q))
 
 
 def lwa_masks_at(q, Q, dA, ydef, mask_idx, *, increase: bool,

@@ -66,17 +66,60 @@ def _cdf_single(values: jax.Array, bins: jax.Array, weights: jax.Array,
     return cdf_from_hist(hist, bincrease, lt)
 
 
+def _edges_cdf_xla(vf: jax.Array, edges: jax.Array, wf: jax.Array):
+    """Differentiable XLA twin of kernels.hist_pallas.histogram_pallas_multi:
+    (B, G) values, (B, N+1) ascending edges, (B, C, G) weights -> (B, C, N)
+    ascending CDF with identical edge/NaN semantics.  Used as the VJP body of
+    the Pallas forward (the kernel itself has no AD rule): linear in the
+    weights; values/edges get the correct a.e.-zero cotangent through the
+    integer digitize."""
+    N = edges.shape[-1] - 1
+
+    def one(v, e, w):
+        idx = jnp.searchsorted(e, v, side="right") - 1
+        idx = jnp.where(v == e[-1], N - 1, idx)         # top edge inclusive
+        valid = (idx >= 0) & (idx <= N - 1) & ~jnp.isnan(v)
+        wv = jnp.where(jnp.isnan(w), 0.0, w)
+        wv = jnp.where(valid[None, :], wv, 0.0)
+        hist = jax.vmap(lambda wc: jax.ops.segment_sum(
+            wc, jnp.clip(idx, 0, N - 1), num_segments=N))(wv)
+        return jnp.cumsum(hist, axis=-1)
+
+    return jax.vmap(one)(vf, edges, wf)
+
+
+@jax.custom_vjp
+def _pallas_cdf_multi_ad(vf, edges, wf):
+    """Pallas forward with the XLA twin's VJP, so jax.grad flows through the
+    TPU path (Pallas calls raise NotImplementedError under AD)."""
+    # module-attribute lookup so the interpreter-mode test monkeypatch of
+    # hist_pallas.histogram_pallas_multi is honored inside the custom_vjp
+    from ..kernels import hist_pallas as hk
+    return hk.histogram_pallas_multi(vf, edges, wf)
+
+
+def _pallas_cdf_multi_ad_fwd(vf, edges, wf):
+    return _pallas_cdf_multi_ad(vf, edges, wf), (vf, edges, wf)
+
+
+def _pallas_cdf_multi_ad_bwd(res, g):
+    vf, edges, wf = res
+    _, vjp = jax.vjp(_edges_cdf_xla, vf, edges, wf)
+    return vjp(g)
+
+
+_pallas_cdf_multi_ad.defvjp(_pallas_cdf_multi_ad_fwd, _pallas_cdf_multi_ad_bwd)
+
+
 def _cdf_batched_pallas(vf: jax.Array, bf: jax.Array, wf: jax.Array,
                         lt: bool) -> jax.Array:
     """(B, G) x (B, N) -> (B, N) through the Pallas direct-CDF kernel."""
-    from ..kernels.hist_pallas import histogram_pallas
-
     N = bf.shape[-1]
     bincrease = bf[:, :1] < bf[:, -1:]
     asc = jnp.where(bincrease, bf, bf[:, ::-1])
     step = (asc[:, -1:] - asc[:, :1]) / (N - 1)
     edges = jnp.concatenate([asc[:, :1] - step, asc], axis=1)
-    cdf = histogram_pallas(vf, edges, wf)
+    cdf = _pallas_cdf_multi_ad(vf, edges, wf[:, None, :])[:, 0]
     if not lt:
         cdf = cdf[:, -1:] - cdf
     return jnp.where(bincrease, cdf, cdf[:, ::-1])
@@ -99,8 +142,6 @@ def weighted_cdf_multi(values: jax.Array, bins: jax.Array, weights_list,
     if not (config.use_pallas() and C <= 8):
         return [weighted_cdf(values, bins, w, lt) for w in weights_list]
 
-    from ..kernels.hist_pallas import histogram_pallas_multi
-
     batch_shape = values.shape[:-2]
     G = values.shape[-2] * values.shape[-1]
     N = bins.shape[-1]
@@ -115,7 +156,7 @@ def weighted_cdf_multi(values: jax.Array, bins: jax.Array, weights_list,
     asc = jnp.where(bincrease, bf, bf[:, ::-1])
     step = (asc[:, -1:] - asc[:, :1]) / (N - 1)
     edges = jnp.concatenate([asc[:, :1] - step, asc], axis=1)
-    cdf = histogram_pallas_multi(vf, edges, wf)               # (B, C, N)
+    cdf = _pallas_cdf_multi_ad(vf, edges, wf)                 # (B, C, N)
     if not lt:
         cdf = cdf[:, :, -1:] - cdf
     cdf = jnp.where(bincrease[:, None, :], cdf, cdf[:, :, ::-1])
