@@ -240,6 +240,30 @@ def _kernel_time(kernel_of_x, x0, inner_lo=2, inner_hi=10, reps=8):
     return max((t_hi - t_lo) / (inner_hi - inner_lo), 1e-9)
 
 
+def _kernel_time_best(kernel_of_x, x0, passes=3, inner_lo=2, inner_hi=10,
+                      reps=8):
+    """Contention-robust kernel time.  Contention on this shared chip only
+    ever ADDS time, so min-over-passes is the honest estimate — but it must
+    be taken on the two RAW chain timings separately, not on their
+    difference (a noisy pass can measure t_hi < t_lo, and min() over such
+    differences latches onto the garbage).  Measured swing between windows
+    is ~2x; a single pass can land a roofline claim on an outlier."""
+    import jax
+
+    def make(inner):
+        @jax.jit
+        def step(x):
+            for _ in range(inner):
+                x = x + 1e-30 * kernel_of_x(x)
+            return x
+        return step
+
+    hi, lo = make(inner_hi), make(inner_lo)
+    t_hi = min(device_time(hi, x0, reps=reps) for _ in range(passes))
+    t_lo = min(device_time(lo, x0, reps=reps) for _ in range(passes))
+    return max((t_hi - t_lo) / (inner_hi - inner_lo), 1e-9)
+
+
 def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     """Per-Pallas-kernel device time + achieved fraction of the binding
     v5e ceiling, on the real snapshot data.  Op-count models are stated in
@@ -282,7 +306,7 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     # tunnel moves ~16 MB/s, a 537 MB host-side tile would dominate the run
     dx = jnp.asarray(rng.uniform(0.5, 1.0, (Ny, Nx)), jnp.float32)
     dy = jnp.ones((Ny, 1), jnp.float32)
-    t_sten = _kernel_time(lambda x: squared_gradient_pallas(
+    t_sten = _kernel_time_best(lambda x: squared_gradient_pallas(
         x, dx, dy, periodic_x=True, bc_y="extend"), qs,
         inner_lo=2, inner_hi=10, reps=6)
 
@@ -301,7 +325,7 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, Ny, Nx), lambda b: (b, 0, 0)),
         )(x)
-    t_copy = _kernel_time(_pallas_copy, qs, inner_lo=2, inner_hi=10, reps=6)
+    t_copy = _kernel_time_best(_pallas_copy, qs, inner_lo=2, inner_hi=10, reps=6)
 
     bts = 2 * BS * Ny * Nx * 4 + 2 * Ny * Nx * 4
     out["stencil"] = dict(
@@ -321,7 +345,7 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     W = jnp.asarray(rng.uniform(0.5, 1.0, (Ny, Nx)), jnp.float32)
     # pairwise=False: measure the linearized kernel the model describes (the
     # public kernel default is the reference-faithful pairwise form)
-    t = _kernel_time(lambda x: lwa_pallas(x, Q, W, increase=True,
+    t = _kernel_time_best(lambda x: lwa_pallas(x, Q, W, increase=True,
                                           pairwise=False), q)
     ops = batch * Ny * Ny * Nx * 3
     out["lwa"] = dict(
@@ -342,7 +366,7 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     def hist_k(x):
         r = histogram_pallas_multi(x, edges, wts)
         return jnp.sum(r, axis=(1, 2))[:, None]
-    t = _kernel_time(hist_k, vals)
+    t = _kernel_time_best(hist_k, vals)
     ops = batch * N * G * 3
     out["hist_cdf2"] = dict(
         ms=round(t * 1e3, 4),
@@ -363,7 +387,7 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     def len_k(x):
         r = contour_lengths_pallas(x, levels, ydef, xdef, latlon=True)
         return jnp.sum(r, axis=1)[:, None, None]
-    t = _kernel_time(len_k, q, inner_lo=1, inner_hi=5, reps=4)
+    t = _kernel_time_best(len_k, q, inner_lo=1, inner_hi=5, reps=4)
     pairs = int(active_pair_count(q, levels))
     ops = pairs * _RB * (Nx - 1) * OPS_PER_CELL_LEVEL
     out["length"] = dict(
