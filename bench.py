@@ -30,7 +30,9 @@ Op-count models per kernel are documented inline next to each measurement.
 Prints ONE compact (< 1.5 kB) JSON line — headline first — and writes the
 full detail tree (op-model formulas, measured ceilings, workload matrix,
 out-of-core run, methodology) to BENCH_DETAILS.json.  ``--quick`` /
-BENCH_QUICK=1 skips the workload matrix + out-of-core sections (< 3 min).
+BENCH_QUICK=1 skips the tall-grid ladder, workload matrix and out-of-core
+sections (< 3 min); those sections of an existing BENCH_DETAILS.json are
+carried over (and marked), never nulled out.
 """
 
 import json
@@ -261,7 +263,15 @@ def _kernel_time_best(kernel_of_x, x0, passes=3, inner_lo=2, inner_hi=10,
     hi, lo = make(inner_hi), make(inner_lo)
     t_hi = min(device_time(hi, x0, reps=reps) for _ in range(passes))
     t_lo = min(device_time(lo, x0, reps=reps) for _ in range(passes))
-    return max((t_hi - t_lo) / (inner_hi - inner_lo), 1e-9)
+    # t_hi/inner_hi = per-iteration time INCLUDING the amortized dispatch
+    # cost, so it is always a valid upper bound on the true kernel time.
+    # Clamping to it keeps a congestion-garbled slope (observed: negative,
+    # or near-zero — which then inflates the self-calibrating ceiling and
+    # zeroes every other kernel's roofline pct) from ever being reported;
+    # the clamp can only UNDER-claim performance.
+    ub = t_hi / inner_hi
+    slope = (t_hi - t_lo) / (inner_hi - inner_lo)
+    return ub if slope <= 0 else min(slope, ub)
 
 
 def kernel_rooflines(lat, lon, vor, batch=32, N=121):
@@ -681,14 +691,36 @@ def main(argv=None):
 
     sps = headline(lat, lon, vor, batch=batch)
     kernels = kernel_rooflines(lat, lon, vor, batch=batch)
-    tall = lwa_tall()
-    workloads = ooc = None
+    tall = workloads = ooc = None
     if not args.quick:
+        tall = lwa_tall()
         workloads = workload_matrix(lat, lon, vor)
         ooc = out_of_core_section()
 
     oracle = cpu_oracle_sps(lat, lon, vor, n_snap=n_cpu)
     fast = cpu_numpy_fast_sps(lat, lon, vor, n_snap=n_cpu)
+
+    # a quick run must not destroy the expensive full-run sections already
+    # on disk — carry them over, marked, instead of nulling them out
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAILS.json")
+    carried = []
+    if args.quick and os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+        for key, cur in (("lwa_tall", tall), ("workloads", workloads),
+                         ("out_of_core", ooc)):
+            if cur is None and prev.get(key) is not None:
+                if key == "lwa_tall":
+                    tall = prev[key]
+                elif key == "workloads":
+                    workloads = prev[key]
+                else:
+                    ooc = prev[key]
+                carried.append(key)
 
     details = {
         "kernels": kernels,
@@ -707,8 +739,9 @@ def main(argv=None):
                    "171 Tflop/s f32 matmul."),
         "mode": "quick" if args.quick else "full",
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAILS.json")
+    if carried:
+        details["carried_from_previous_run"] = carried
+        details["mode"] = "quick (carried: " + ",".join(carried) + ")"
     with open(detail_path, "w") as f:
         json.dump(details, f, indent=1)
 
@@ -724,13 +757,14 @@ def main(argv=None):
                       "numpy_fast_f32_sps": round(fast, 3),
                       "vs_numpy_fast": round(sps / fast, 2)},
         "kernels": compact_kernels,
-        "lwa_tall": {"ny": tall["ny"], "fast_ms": tall["fast_ms"],
-                     "lin_ms": tall["lin_ms"],
-                     "auto": tall["auto_resolves_to"],
-                     "fast_wins": tall["fast_wins"]},
         "mode": details["mode"],
         "details": "BENCH_DETAILS.json",
     }
+    if tall is not None:
+        line["lwa_tall"] = {"ny": tall["ny"], "fast_ms": tall["fast_ms"],
+                            "lin_ms": tall["lin_ms"],
+                            "auto": tall["auto_resolves_to"],
+                            "fast_wins": tall["fast_wins"]}
     if workloads is not None:
         line["era5_sps"] = workloads["era5_keff_lwa_sps"]
         line["year_pv_s"] = workloads["year_pv_s"]

@@ -107,6 +107,44 @@ def test_pallas_path_adjoint_matches_xla(rng, monkeypatch):
                                atol=1e-12 * np.abs(g_xla).max())
 
 
+@pytest.mark.parametrize("variant2", [False, True])
+@pytest.mark.parametrize("part", ["upper", "lower"])
+def test_part_selection_gradients_finite_and_match_fd(rng, part, variant2):
+    """part='upper'/'lower' use NaN sentinels in the 3-valued mask; the
+    dense form substitutes exact zeros before the product so the VJP stays
+    NaN-free (nansum's cotangent would multiply 0*NaN=NaN and poison every
+    element).  FD-checked at a probe cell away from mask boundaries."""
+    Ny, Nx = 12, 16
+    ydef = jnp.asarray(np.linspace(-60.0, 60.0, Ny))
+    q = np.cumsum(rng.normal(size=(2, Ny, Nx)), axis=1)
+    q[0, 3, 4] = np.nan                  # missing data must not poison grads
+    q = jnp.asarray(q)
+    dA = jnp.asarray(rng.uniform(0.5, 2.0, size=(Ny, Nx)))
+    Q = jnp.sort(jnp.asarray(rng.normal(size=(2, Ny))), axis=-1)
+    fn = _lwa.local_wave_activity2 if variant2 else _lwa.local_wave_activity
+
+    def loss(t):
+        out = fn(t, Q, dA, ydef, increase=True, part=part, method="dense")
+        return jnp.nansum(out * out)
+
+    g = np.asarray(jax.grad(loss)(q))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+    scale = np.abs(g).max()
+    checked = 0
+    for b, y, x in [(1, 5, 7), (1, 8, 11), (0, 6, 2), (0, 9, 13)]:
+        if abs(g[b, y, x]) < 1e-3 * scale:
+            continue
+        eps = 1e-6
+        fd = (float(loss(q.at[b, y, x].add(eps)))
+              - float(loss(q.at[b, y, x].add(-eps)))) / (2 * eps)
+        rel = abs(fd - g[b, y, x]) / (abs(fd) + abs(g[b, y, x]))
+        assert rel < 5e-3, (b, y, x, fd, g[b, y, x])
+        checked += 1
+    assert checked >= 1
+
+
 def test_adjoint_through_batched_pipeline_is_finite(rng):
     """grad flows through a batched call (vmapped internals, both CDF
     channels) without NaN poisoning."""

@@ -60,12 +60,19 @@ _LWA_FAST_OVERRIDE: Optional[bool] = None
 
 
 def set_lwa_fast(value: Optional[bool]) -> None:
-    """Allow/forbid the O(Ny log Ny) linearized LWA path in 'auto' method
+    """Allow/forbid the O(Ny log Ny) sort-merge LWA path in 'auto' method
     resolution (selected only above the measured Ny crossover; part='all'
     only); None restores the default (allowed).  Exact path control is the
-    ``method`` kwarg on the LWA entry points."""
+    ``method`` kwarg on the LWA entry points.
+
+    Clears the jit caches when the effective value changes, for the same
+    reason as :func:`set_use_pallas`: 'auto' resolves at trace time, and a
+    cached trace embeds the previously-resolved path."""
     global _LWA_FAST_OVERRIDE
+    old = lwa_fast()
     _LWA_FAST_OVERRIDE = value
+    if lwa_fast() != old:
+        jax.clear_caches()
 
 
 def lwa_fast() -> bool:

@@ -54,6 +54,41 @@ def rolling_mean(data: jax.Array, window: int, stride: int,
     return jnp.where(n >= min_count, mean, jnp.nan), oy, ox
 
 
+def _cell_panels(data: jax.Array, yc: jax.Array, xc: jax.Array):
+    """Corner values, NaN mask and corner-coordinate panels for every grid
+    cell — the operand tuple of :func:`_one_window_length`.  Shared by the
+    single-device XLA path and parallel.local_length's sharded path so the
+    window semantics cannot drift between them."""
+    v00 = data[:-1, :-1]
+    v01 = data[:-1, 1:]
+    v10 = data[1:, :-1]
+    v11 = data[1:, 1:]
+    nan_cell = jnp.isnan(v00) | jnp.isnan(v01) | jnp.isnan(v10) | jnp.isnan(v11)
+    shape = v00.shape
+    y0g = jnp.broadcast_to(yc[:-1, None], shape)
+    y1g = jnp.broadcast_to(yc[1:, None], shape)
+    x0g = jnp.broadcast_to(xc[None, :-1], shape)
+    x1g = jnp.broadcast_to(xc[None, 1:], shape)
+    return v00, v01, v10, v11, y0g, y1g, x0g, x1g, nan_cell
+
+
+def _one_window_length(panels, W: int, y0, x0, level, latlon: bool):
+    """Length of the ``level`` contour inside the (W x W)-cell window
+    anchored at grid point (y0, x0); NaN for NaN levels and empty contours
+    (the global kernel's rule)."""
+    sl = lambda a: jax.lax.dynamic_slice(a, (y0, x0), (W, W))
+    total = _level_total_length(level, *(sl(a) for a in panels), latlon)
+    return jnp.where(jnp.isnan(level) | (total == 0.0), jnp.nan, total)
+
+
+def _window_centers(ydef, xdef, oy, ox, window: int):
+    """Window-center coordinates (falls back to the anchors when the grid is
+    narrower than half a window)."""
+    cy = ydef[oy + window // 2] if window // 2 < ydef.shape[0] else ydef[oy]
+    cx = xdef[ox + window // 2] if window // 2 < xdef.shape[0] else xdef[ox]
+    return cy, cx
+
+
 @partial(jax.jit, static_argnames=("window", "stride", "latlon", "min_count"))
 def local_contour_lengths(data: jax.Array, ydef: jax.Array, xdef: jax.Array, *,
                           window: int = 101, stride: int = 10,
@@ -106,39 +141,20 @@ def local_contour_lengths(data: jax.Array, ydef: jax.Array, xdef: jax.Array, *,
                             jnp.nan, totals).reshape(Wy, Wx)
         if latlon:
             lengths = lengths * Rearth
-        cy = ydef[oy + window // 2] if window // 2 < ydef.shape[0] else ydef[oy]
-        cx = xdef[ox + window // 2] if window // 2 < xdef.shape[0] else xdef[ox]
+        cy, cx = _window_centers(ydef, xdef, oy, ox, window)
         return lengths, cy, cx
 
     # cell geometry precomputed once over the full grid
-    v00 = data[:-1, :-1]
-    v01 = data[:-1, 1:]
-    v10 = data[1:, :-1]
-    v11 = data[1:, 1:]
-    nan_cell = jnp.isnan(v00) | jnp.isnan(v01) | jnp.isnan(v10) | jnp.isnan(v11)
-    shape = v00.shape
-    y0g = jnp.broadcast_to(yc[:-1, None], shape)
-    y1g = jnp.broadcast_to(yc[1:, None], shape)
-    x0g = jnp.broadcast_to(xc[None, :-1], shape)
-    x1g = jnp.broadcast_to(xc[None, 1:], shape)
-
+    panels = _cell_panels(data, yc, xc)
     W = window - 1  # cells per window side
 
-    def one_window(y0, x0, level):
-        sl = lambda a: jax.lax.dynamic_slice(a, (y0, x0), (W, W))
-        total = _level_total_length(
-            level, sl(v00), sl(v01), sl(v10), sl(v11),
-            sl(y0g), sl(y1g), sl(x0g), sl(x1g), sl(nan_cell), latlon)
-        return jnp.where(jnp.isnan(level) | (total == 0.0), jnp.nan, total)
-
     def one_row(iy):
-        return jax.vmap(lambda ix: one_window(oy[iy], ox[ix],
-                                              levels[iy, ix]))(
+        return jax.vmap(lambda ix: _one_window_length(
+            panels, W, oy[iy], ox[ix], levels[iy, ix], latlon))(
             jnp.arange(ox.shape[0]))
 
     lengths = jax.lax.map(one_row, jnp.arange(oy.shape[0]))
     if latlon:
         lengths = lengths * Rearth
-    cy = ydef[oy + window // 2] if window // 2 < ydef.shape[0] else ydef[oy]
-    cx = xdef[ox + window // 2] if window // 2 < xdef.shape[0] else xdef[ox]
+    cy, cx = _window_centers(ydef, xdef, oy, ox, window)
     return lengths, cy, cx

@@ -90,8 +90,20 @@ def _lwa_dense_xla(q, Q, W, ydef, *, increase: bool, part: str,
                    variant2: bool, chunk: int):
     """The chunked dense (pairwise 3-valued-mask) XLA form, shared by the
     off-TPU execution path and the custom-VJP backward of the Pallas
-    forward (the reference summation, core.py:752-793 / 860-890)."""
+    forward (the reference summation, core.py:752-793 / 860-890).
+
+    The excluded-cell NaN sentinels (part selection, missing data) are
+    substituted by EXACT zeros before the product so the sum equals the
+    reference's nansum bit-for-bit while the VJP stays NaN-free: nansum's
+    cotangent multiplies by the NaN mask (0*NaN=NaN) and would poison
+    every gradient element for part='upper'/'lower'."""
     coord_incre = ydef[-1] > ydef[0]
+    Wz = jnp.where(jnp.isnan(W), 0.0, W)
+
+    def masked_term(qe, mask):
+        qz = jnp.where(jnp.isnan(qe), 0.0, qe)
+        mz = jnp.where(jnp.isnan(mask), 0.0, mask)
+        return -jnp.sum(qz * mz * Wz, axis=-2)
 
     if variant2:
         def one(j):
@@ -100,7 +112,7 @@ def _lwa_dense_xla(q, Q, W, ydef, *, increase: bool, part: str,
             yj = ydef[j]
             m = jnp.where(coord_incre, ydef >= yj, ydef <= yj)[:, None]
             mask = _part_select(_mask3(qe, m, not increase), part, increase)
-            return -jnp.nansum(qe * mask * W, axis=-2)
+            return masked_term(qe, mask)
     else:
         def one(j):
             Qj = jnp.take(Q, j, axis=-1)
@@ -108,7 +120,7 @@ def _lwa_dense_xla(q, Q, W, ydef, *, increase: bool, part: str,
             qe = q - Qj[..., None, None]
             m = jnp.where(coord_incre, ydef >= yj, ydef <= yj)[:, None]
             mask = _part_select(_mask3(qe, m, increase), part, increase)
-            return -jnp.nansum(qe * mask * W, axis=-2)
+            return masked_term(qe, mask)
 
     lwa = _chunked_over_surfaces(one, ydef.shape[0], chunk)  # (Ny, ..., Nx)
     return jnp.moveaxis(lwa, 0, -2)

@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..diagnostics.length import _level_total_length
-from ..diagnostics.local_length import rolling_mean
+from ..diagnostics.local_length import (_cell_panels, _one_window_length,
+                                        _window_centers, rolling_mean)
 from ..utils.constants import Rearth as _REARTH
 
 
@@ -64,27 +64,13 @@ def sharded_local_lengths(data: jax.Array, ydef: jax.Array, xdef: jax.Array,
 
     def local(dchunk, lvc, ysc, xsc):
         # one ICI collective: reassemble the panel, then pure local compute
+        # with the same window evaluation as the single-device XLA path
         d = jax.lax.all_gather(dchunk, axis, axis=1, tiled=True)   # (Ny, Nx)
-        v00 = d[:-1, :-1]
-        v01 = d[:-1, 1:]
-        v10 = d[1:, :-1]
-        v11 = d[1:, 1:]
-        nan_cell = (jnp.isnan(v00) | jnp.isnan(v01) | jnp.isnan(v10)
-                    | jnp.isnan(v11))
-        shape = v00.shape
-        y0g = jnp.broadcast_to(yc[:-1, None], shape)
-        y1g = jnp.broadcast_to(yc[1:, None], shape)
-        x0g = jnp.broadcast_to(xc[None, :-1], shape)
-        x1g = jnp.broadcast_to(xc[None, 1:], shape)
+        panels = _cell_panels(d, yc, xc)
 
         def one(args):
             y0, x0, level = args
-            sl = lambda a: jax.lax.dynamic_slice(a, (y0, x0), (W, W))
-            total = _level_total_length(
-                level, sl(v00), sl(v01), sl(v10), sl(v11),
-                sl(y0g), sl(y1g), sl(x0g), sl(x1g), sl(nan_cell), latlon)
-            return jnp.where(jnp.isnan(level) | (total == 0.0), jnp.nan,
-                             total)
+            return _one_window_length(panels, W, y0, x0, level, latlon)
 
         return jax.lax.map(one, (ysc, xsc, lvc))
 
@@ -94,6 +80,5 @@ def sharded_local_lengths(data: jax.Array, ydef: jax.Array, xdef: jax.Array,
     lengths = fn(data, lv, ys, xs)[:nw].reshape(Wy, Wx)
     if latlon:
         lengths = lengths * Rearth
-    cy = ydef[oy + window // 2] if window // 2 < ydef.shape[0] else ydef[oy]
-    cx = xdef[ox + window // 2] if window // 2 < xdef.shape[0] else xdef[ox]
+    cy, cx = _window_centers(ydef, xdef, oy, ox, window)
     return lengths, cy, cx
