@@ -145,6 +145,51 @@ def test_part_selection_gradients_finite_and_match_fd(rng, part, variant2):
     assert checked >= 1
 
 
+def test_grad_flag_matrix_fuzz(rng):
+    """Random flag combinations (tracer direction, coordinate direction,
+    part selection, both LWA variants, both dense/lin methods where legal):
+    jax.grad of a sum-of-squares LWA loss is finite and FD-consistent at a
+    probe cell.  Pins the a.e.-derivative semantics across the whole flag
+    surface, not just the increase=True happy path."""
+    Ny, Nx = 10, 12
+    for trial in range(12):
+        increase = bool(rng.integers(2))
+        coord_down = bool(rng.integers(2))
+        variant2 = bool(rng.integers(2))
+        part = ["all", "upper", "lower"][rng.integers(3)]
+        method = "dense" if part != "all" else ["dense", "lin"][rng.integers(2)]
+        ydef = jnp.asarray(np.linspace(-60.0, 60.0, Ny)[::-1].copy()
+                           if coord_down else np.linspace(-60.0, 60.0, Ny))
+        base = np.cumsum(rng.normal(size=(Ny, Nx)), axis=0)
+        if not increase:
+            base = -base
+        q = jnp.asarray(base)
+        dA = jnp.asarray(rng.uniform(0.5, 2.0, size=(Ny, Nx)))
+        Q = jnp.asarray(np.sort(rng.normal(size=(Ny,))))
+        if not increase:
+            Q = Q[::-1]
+        fn = (_lwa.local_wave_activity2 if variant2
+              else _lwa.local_wave_activity)
+
+        def loss(t):
+            out = fn(t, Q, dA, ydef, increase=increase, part=part,
+                     method=method)
+            return jnp.nansum(out * out)
+
+        g = np.asarray(jax.grad(loss)(q))
+        cfg = dict(trial=trial, increase=increase, coord_down=coord_down,
+                   variant2=variant2, part=part, method=method)
+        assert np.isfinite(g).all(), cfg
+        if np.abs(g).max() == 0:
+            continue                      # fully-excluded selection: fine
+        idx = np.unravel_index(np.abs(g).argmax(), g.shape)
+        eps = 1e-6
+        fd = (float(loss(q.at[idx].add(eps)))
+              - float(loss(q.at[idx].add(-eps)))) / (2 * eps)
+        rel = abs(fd - g[idx]) / (abs(fd) + abs(g[idx]))
+        assert rel < 5e-3, (cfg, idx, fd, g[idx])
+
+
 def test_adjoint_through_batched_pipeline_is_finite(rng):
     """grad flows through a batched call (vmapped internals, both CDF
     channels) without NaN poisoning."""
