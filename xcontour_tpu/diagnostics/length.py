@@ -42,7 +42,16 @@ def _haversine(lon1, lon2, lat1, lat2):
 
 def _level_total_length(level, v00, v01, v10, v11, y0, y1, x0, x1,
                         nan_cell, latlon: bool):
-    """Sum of in-cell segment lengths for one contour level."""
+    """Sum of in-cell segment lengths for one contour level.
+
+    NaN corners are substituted by zeros BEFORE classification: their cells
+    are zeroed by ``nan_cell`` regardless (same primal), but letting NaN
+    flow into the fractions gives the VJP a 0-cotangent x NaN-jacobian
+    product and poisons gradients around every masked cell."""
+    v00 = jnp.where(nan_cell, 0.0, v00)
+    v01 = jnp.where(nan_cell, 0.0, v01)
+    v10 = jnp.where(nan_cell, 0.0, v10)
+    v11 = jnp.where(nan_cell, 0.0, v11)
     a00 = v00 > level
     a01 = v01 > level
     a10 = v10 > level
@@ -96,6 +105,64 @@ def _level_total_length(level, v00, v01, v10, v11, y0, y1, x0, x1,
     return jnp.sum(L, axis=(-2, -1))
 
 
+def _lengths_totals_xla(data, ctr, yc, xc, *, latlon: bool, chunk: int):
+    """Raw per-level perimeter totals (..., N) — the XLA form, also the
+    custom-VJP backward of the Pallas kernel (which has no AD rule).  The
+    marching-squares vertex positions are linear interpolations of the
+    corner values, so lengths are genuinely differentiable in the tracer
+    (a.e.; the case classification is piecewise constant)."""
+    v00 = data[..., :-1, :-1]
+    v01 = data[..., :-1, 1:]
+    v10 = data[..., 1:, :-1]
+    v11 = data[..., 1:, 1:]
+    nan_cell = jnp.isnan(v00) | jnp.isnan(v01) | jnp.isnan(v10) | jnp.isnan(v11)
+    shape = v00.shape[-2:]
+    y0 = jnp.broadcast_to(yc[:-1, None], shape)
+    y1 = jnp.broadcast_to(yc[1:, None], shape)
+    x0 = jnp.broadcast_to(xc[None, :-1], shape)
+    x1 = jnp.broadcast_to(xc[None, 1:], shape)
+    batch_shape = data.shape[:-2]
+    N = ctr.shape[-1]
+
+    def one_level(k):
+        c = ctr[..., k]  # (...,) per-batch level
+        cb = c[..., None, None] if batch_shape else c
+        return _level_total_length(cb, v00, v01, v10, v11, y0, y1, x0, x1,
+                                   nan_cell, latlon)
+
+    chunk = max(1, min(chunk, N))
+    npad = (-N) % chunk
+    idx = jnp.arange(N + npad).reshape(-1, chunk)
+    totals = jax.lax.map(jax.vmap(one_level), idx)
+    totals = totals.reshape((-1,) + totals.shape[2:])[:N]      # (N, ...)
+    return jnp.moveaxis(totals, 0, -1)                         # (..., N)
+
+
+def _lengths_pallas_ad(df, cf, yc, xc, *, latlon: bool, chunk: int):
+    """Pallas forward with the XLA twin's VJP (same pattern as the LWA and
+    CDF kernels): jax.grad through the TPU length path differentiates
+    :func:`_lengths_totals_xla`."""
+    @jax.custom_vjp
+    def f(df, cf, yc, xc):
+        # module-attribute lookup so interpreter-mode monkeypatches apply
+        from ..kernels import length_pallas as lk
+        return lk.contour_lengths_pallas(df, cf, yc, xc, latlon=latlon)
+
+    def fwd(df, cf, yc, xc):
+        return f(df, cf, yc, xc), (df, cf, yc, xc)
+
+    def bwd(res, g):
+        dfr, cfr, ycr, xcr = res
+        _, vjp = jax.vjp(
+            lambda a, b, c, d: _lengths_totals_xla(a, b, c, d, latlon=latlon,
+                                                   chunk=chunk),
+            dfr, cfr, ycr, xcr)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f(df, cf, yc, xc)
+
+
 @partial(jax.jit, static_argnames=("latlon", "chunk"))
 def contour_lengths(data, contours, ydef, xdef, *, latlon: bool = False,
                     Rearth: float = _REARTH, chunk: int = 8):
@@ -111,44 +178,21 @@ def contour_lengths(data, contours, ydef, xdef, *, latlon: bool = False,
     yc = yc.astype(data.dtype)
     xc = xc.astype(data.dtype)
 
-    v00 = data[..., :-1, :-1]
-    v01 = data[..., :-1, 1:]
-    v10 = data[..., 1:, :-1]
-    v11 = data[..., 1:, 1:]
-    nan_cell = jnp.isnan(v00) | jnp.isnan(v01) | jnp.isnan(v10) | jnp.isnan(v11)
-    shape = v00.shape[-2:]
-    y0 = jnp.broadcast_to(yc[:-1, None], shape)
-    y1 = jnp.broadcast_to(yc[1:, None], shape)
-    x0 = jnp.broadcast_to(xc[None, :-1], shape)
-    x1 = jnp.broadcast_to(xc[None, 1:], shape)
-
     batch_shape = data.shape[:-2]
     ctr = jnp.broadcast_to(contours, batch_shape + contours.shape[-1:])
     N = ctr.shape[-1]
 
     from .. import config
     if config.use_pallas():
-        from ..kernels.length_pallas import contour_lengths_pallas
         Ny, Nx = data.shape[-2:]
         df = data.reshape((-1, Ny, Nx))
         cf = ctr.reshape((-1, N))
-        totals = contour_lengths_pallas(df, cf, yc, xc, latlon=latlon)
+        totals = _lengths_pallas_ad(df, cf, yc, xc, latlon=latlon,
+                                    chunk=chunk)
         totals = totals.reshape(batch_shape + (N,))
-        totals = jnp.where(totals == 0.0, jnp.nan, totals)
-        return totals * Rearth if latlon else totals
-
-    def one_level(k):
-        c = ctr[..., k]  # (...,) per-batch level
-        cb = c[..., None, None] if batch_shape else c
-        return _level_total_length(cb, v00, v01, v10, v11, y0, y1, x0, x1,
-                                   nan_cell, latlon)
-
-    chunk = max(1, min(chunk, N))
-    npad = (-N) % chunk
-    idx = jnp.arange(N + npad).reshape(-1, chunk)
-    totals = jax.lax.map(jax.vmap(one_level), idx)
-    totals = totals.reshape((-1,) + totals.shape[2:])[:N]      # (N, ...)
-    totals = jnp.moveaxis(totals, 0, -1)                       # (..., N)
+    else:
+        totals = _lengths_totals_xla(data, ctr, yc, xc, latlon=latlon,
+                                     chunk=chunk)
 
     totals = jnp.where(totals == 0.0, jnp.nan, totals)
     return totals * Rearth if latlon else totals

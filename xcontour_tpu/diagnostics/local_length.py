@@ -72,13 +72,39 @@ def _cell_panels(data: jax.Array, yc: jax.Array, xc: jax.Array):
     return v00, v01, v10, v11, y0g, y1g, x0g, x1g, nan_cell
 
 
+def _one_window_raw(panels, W: int, y0, x0, level, latlon: bool):
+    """Raw contour length inside the (W x W)-cell window anchored at grid
+    point (y0, x0).  NaN levels are substituted by 0 so the VJP never meets
+    a NaN jacobian (the caller's NaN rule hides the substituted primal)."""
+    sl = lambda a: jax.lax.dynamic_slice(a, (y0, x0), (W, W))
+    lv = jnp.where(jnp.isnan(level), 0.0, level)
+    return _level_total_length(lv, *(sl(a) for a in panels), latlon)
+
+
 def _one_window_length(panels, W: int, y0, x0, level, latlon: bool):
     """Length of the ``level`` contour inside the (W x W)-cell window
     anchored at grid point (y0, x0); NaN for NaN levels and empty contours
     (the global kernel's rule)."""
-    sl = lambda a: jax.lax.dynamic_slice(a, (y0, x0), (W, W))
-    total = _level_total_length(level, *(sl(a) for a in panels), latlon)
+    total = _one_window_raw(panels, W, y0, x0, level, latlon)
     return jnp.where(jnp.isnan(level) | (total == 0.0), jnp.nan, total)
+
+
+def _local_totals_xla_raw(data, levels, yc, xc, *, window: int, stride: int,
+                          latlon: bool):
+    """(Wy, Wx) raw window totals — the XLA form, also the custom-VJP
+    backward of the Pallas batched-window kernel."""
+    ny, nx = data.shape[-2:]
+    oy = jnp.arange(0, ny - window + 1, stride)
+    ox = jnp.arange(0, nx - window + 1, stride)
+    panels = _cell_panels(data, yc, xc)
+    W = window - 1
+
+    def one_row(iy):
+        return jax.vmap(lambda ix: _one_window_raw(
+            panels, W, oy[iy], ox[ix], levels[iy, ix], latlon))(
+            jnp.arange(ox.shape[0]))
+
+    return jax.lax.map(one_row, jnp.arange(oy.shape[0]))
 
 
 def _window_centers(ydef, xdef, oy, ox, window: int):
@@ -87,6 +113,56 @@ def _window_centers(ydef, xdef, oy, ox, window: int):
     cy = ydef[oy + window // 2] if window // 2 < ydef.shape[0] else ydef[oy]
     cx = xdef[ox + window // 2] if window // 2 < xdef.shape[0] else xdef[ox]
     return cy, cx
+
+
+def _local_pallas_ad(data, levels, yc, xc, *, window: int, stride: int,
+                     latlon: bool):
+    """Batched-window Pallas forward with the XLA twin's VJP.
+
+    Forward: extract every (window x window) patch as static strided slices
+    (pure data movement; conv_general_dilated_patches lowers to a real
+    window^2-channel convolution on TPU — measured 110 ms vs ~0.3 ms), then
+    run ALL windows through the Pallas length kernel as one
+    (n_windows, window, window) batch with per-window coordinate patches
+    and a single level each — ~8x faster than per-window dynamic slices.
+    Backward: jax.vjp of :func:`_local_totals_xla_raw` (the kernel has no
+    AD rule)."""
+    @jax.custom_vjp
+    def f(data, levels, yc, xc):
+        ny, nx = data.shape[-2:]
+        oy = jnp.arange(0, ny - window + 1, stride)
+        ox = jnp.arange(0, nx - window + 1, stride)
+        Wy, Wx = oy.shape[0], ox.shape[0]
+        oy_np = range(0, ny - window + 1, stride)
+        ox_np = range(0, nx - window + 1, stride)
+        rows = jnp.stack([data[i:i + window, :] for i in oy_np])
+        patches = jnp.stack([rows[:, :, j:j + window] for j in ox_np],
+                            axis=1).reshape(Wy * Wx, window, window)
+        ywin = yc[oy[:, None] + jnp.arange(window)[None, :]]      # (Wy, w)
+        xwin = xc[ox[:, None] + jnp.arange(window)[None, :]]      # (Wx, w)
+        ywin = jnp.broadcast_to(ywin[:, None, :], (Wy, Wx, window)
+                                ).reshape(Wy * Wx, window)
+        xwin = jnp.broadcast_to(xwin[None, :, :], (Wy, Wx, window)
+                                ).reshape(Wy * Wx, window)
+        from ..kernels import length_pallas as lk
+        lv = levels.reshape(Wy * Wx)
+        totals = lk.local_lengths_pallas(patches, lv, ywin, xwin,
+                                         latlon=latlon)
+        return totals.reshape(Wy, Wx)
+
+    def fwd(data, levels, yc, xc):
+        return f(data, levels, yc, xc), (data, levels, yc, xc)
+
+    def bwd(res, g):
+        dr, lr, ycr, xcr = res
+        _, vjp = jax.vjp(
+            lambda a, b, c, d: _local_totals_xla_raw(
+                a, b, c, d, window=window, stride=stride, latlon=latlon),
+            dr, lr, ycr, xcr)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f(data, levels, yc, xc)
 
 
 @partial(jax.jit, static_argnames=("window", "stride", "latlon", "min_count"))
@@ -112,48 +188,18 @@ def local_contour_lengths(data: jax.Array, ydef: jax.Array, xdef: jax.Array, *,
 
     from .. import config
     if config.use_pallas():
-        # Batched-window path: extract every (window x window) patch as one
-        # strided convolution, then run ALL windows through the Pallas length
-        # kernel as one (n_windows, window, window) batch with per-window
-        # coordinate patches and a single level each — ~8x faster than
-        # per-window dynamic slices (the overlapping-window recompute stays,
-        # but it runs at kernel throughput with the level pretest active).
-        ny, nx = data.shape[-2:]
-        Wy, Wx = oy.shape[0], ox.shape[0]
-        # window extraction as static strided slices — pure data movement
-        # (conv_general_dilated_patches lowers to a real window^2-channel
-        # convolution on TPU: measured 110 ms vs ~0.3 ms for the copies)
-        oy_np = range(0, ny - window + 1, stride)
-        ox_np = range(0, nx - window + 1, stride)
-        rows = jnp.stack([data[i:i + window, :] for i in oy_np])
-        patches = jnp.stack([rows[:, :, j:j + window] for j in ox_np],
-                            axis=1).reshape(Wy * Wx, window, window)
-        ywin = yc[oy[:, None] + jnp.arange(window)[None, :]]      # (Wy, w)
-        xwin = xc[ox[:, None] + jnp.arange(window)[None, :]]      # (Wx, w)
-        ywin = jnp.broadcast_to(ywin[:, None, :], (Wy, Wx, window)
-                                ).reshape(Wy * Wx, window)
-        xwin = jnp.broadcast_to(xwin[None, :, :], (Wy, Wx, window)
-                                ).reshape(Wy * Wx, window)
-        from ..kernels.length_pallas import local_lengths_pallas
-        lv = levels.reshape(Wy * Wx)
-        totals = local_lengths_pallas(patches, lv, ywin, xwin, latlon=latlon)
-        lengths = jnp.where(jnp.isnan(lv) | (totals == 0.0),
-                            jnp.nan, totals).reshape(Wy, Wx)
+        totals = _local_pallas_ad(data, levels, yc, xc, window=window,
+                                  stride=stride, latlon=latlon)
+        lengths = jnp.where(jnp.isnan(levels) | (totals == 0.0),
+                            jnp.nan, totals)
         if latlon:
             lengths = lengths * Rearth
         cy, cx = _window_centers(ydef, xdef, oy, ox, window)
         return lengths, cy, cx
 
-    # cell geometry precomputed once over the full grid
-    panels = _cell_panels(data, yc, xc)
-    W = window - 1  # cells per window side
-
-    def one_row(iy):
-        return jax.vmap(lambda ix: _one_window_length(
-            panels, W, oy[iy], ox[ix], levels[iy, ix], latlon))(
-            jnp.arange(ox.shape[0]))
-
-    lengths = jax.lax.map(one_row, jnp.arange(oy.shape[0]))
+    totals = _local_totals_xla_raw(data, levels, yc, xc, window=window,
+                                   stride=stride, latlon=latlon)
+    lengths = jnp.where(jnp.isnan(levels) | (totals == 0.0), jnp.nan, totals)
     if latlon:
         lengths = lengths * Rearth
     cy, cx = _window_centers(ydef, xdef, oy, ox, window)
