@@ -7,7 +7,10 @@ lookup -> sorted profile -> LWA.  The histogram digitize is piecewise
 constant in the tracer, so AD returns the almost-everywhere derivative
 (bucket-interior), which finite differences confirm away from bucket
 boundaries.  The Keff tail (Leq2/nkeff) keeps the reference's NaN-masking
-semantics and is intentionally outside the differentiable surface.
+semantics bit-for-bit yet is differentiable too: its 0/0 and NaN-operand
+divisions route degenerate lanes through stop_gradient
+(core._grad_safe_div), so the 0-cotangent x NaN-jacobian products that
+would poison jax.grad never form.
 """
 
 import numpy as np
@@ -278,6 +281,61 @@ def test_length_pallas_path_grad_matches_xla(rng, monkeypatch):
                                atol=1e-12 * np.abs(g_xla).max())
     np.testing.assert_allclose(w_pal, w_xla, rtol=1e-8,
                                atol=1e-12 * np.abs(w_xla).max())
+
+
+def test_keff_pipeline_adjoint_matches_finite_differences(rng):
+    """jax.grad flows through the FULL Keff chain (contours -> CDF -> table
+    lookup -> d/dA -> Leq2 -> nkeff): the tail's 0/0 -> NaN divisions keep
+    their reference primal but take degenerate lanes through stop_gradient,
+    so the gradient is finite and FD-exact on live lanes."""
+    from xcontour_tpu import pipeline
+
+    Ny, Nx = 24, 48
+    lat = np.linspace(-75, 75, Ny)
+    lon = np.linspace(0, 360 - 360 / Nx, Nx)
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    base = np.sin(np.deg2rad(lat))[:, None] + 0.15 * np.cos(
+        3 * np.deg2rad(lon))[None, :] * np.cos(np.deg2rad(lat))[:, None]
+    v = jnp.asarray(base + 0.02 * rng.standard_normal((Ny, Nx)))
+
+    def loss(t):
+        out = pipeline.keff_pipeline(t[None], grid, N=21, lmin="analytic")
+        return jnp.nansum(out["origin"]["nkeff"])
+
+    g = np.asarray(jax.grad(loss)(v))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+    scale = np.abs(g).max()
+    checked = 0
+    for i, j in [(5, 7), (12, 20), (18, 33), (8, 41), (10, 5)]:
+        if abs(g[i, j]) < 1e-3 * scale:
+            continue
+        eps = 1e-6
+        fd = (float(loss(v.at[i, j].add(eps)))
+              - float(loss(v.at[i, j].add(-eps)))) / (2 * eps)
+        rel = abs(fd - g[i, j]) / (abs(fd) + abs(g[i, j]))
+        assert rel < 5e-3, (i, j, fd, g[i, j])
+        checked += 1
+    assert checked >= 3
+
+
+def test_grad_safe_div_primal_matches_raw_division(rng):
+    """core._grad_safe_div is bit-identical to plain division on the primal
+    (0/0 -> NaN, x/0 -> +-inf, NaN operands propagate) while its VJP is
+    finite everywhere."""
+    from xcontour_tpu.core import _grad_safe_div
+
+    num = jnp.asarray([1.0, 0.0, -2.0, jnp.nan, 3.0, 0.0])
+    den = jnp.asarray([2.0, 0.0, 0.0, 1.0, jnp.nan, 0.0])
+    raw = np.asarray(num) / np.asarray(den)
+    out = np.asarray(_grad_safe_div(num, den))
+    np.testing.assert_array_equal(out, raw)
+
+    g = jax.grad(lambda a, b: jnp.nansum(
+        jnp.where(jnp.isfinite(_grad_safe_div(a, b)),
+                  _grad_safe_div(a, b), 0.0)))(num, den)
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_adjoint_through_batched_pipeline_is_finite(rng):

@@ -211,11 +211,24 @@ def cal_area_eqCoord_table_hist(mask, ydef, dA, *, increase: bool, lt: bool) -> 
 # ---------------------------------------------------------------------------
 # contour-space calculus — reference core.py:463-637, 945-966
 # ---------------------------------------------------------------------------
+def _grad_safe_div(num, den):
+    """``num / den`` with the raw primal (0/0 -> NaN, x/0 -> inf, exactly as
+    the plain division) but a finite VJP where ``den == 0``: the degenerate
+    lanes take the raw quotient through ``stop_gradient`` (zero jacobian)
+    while live lanes divide by a guarded denominator, so the downstream
+    0-cotangent x NaN-jacobian product that poisons ``jax.grad`` through the
+    Keff tail never forms."""
+    bad = (den == 0) | jnp.isnan(den) | jnp.isnan(num)
+    raw = jax.lax.stop_gradient(num) / jax.lax.stop_gradient(den)
+    return jnp.where(bad, raw, num / jnp.where(bad, 1.0, den))
+
+
 @jax.jit
 def cal_gradient_wrt_area(var, area):
     """dVar/dA via centered differences along the contour index
     (core.py:479-483)."""
-    return gradient_index(var, axis=-1) / gradient_index(area, axis=-1)
+    return _grad_safe_div(gradient_index(var, axis=-1),
+                          gradient_index(area, axis=-1))
 
 
 def cal_contour_weigh_mean(tracer, contours, dA, integrand, area=None, *,
@@ -240,26 +253,26 @@ def cal_contour_mean(tracer, contours, dA, integrand, grdm, area=None, *,
     """Simple along-contour mean <f|grad q|>/<|grad q|> (core.py:555-584)."""
     upper = cal_contour_weigh_mean(tracer, contours, dA, integrand * grdm, area, lt=lt)
     lower = cal_contour_weigh_mean(tracer, contours, dA, grdm, area, lt=lt)
-    return upper / lower
+    return _grad_safe_div(upper, lower)
 
 
 def cal_contour_mean_hist(tracer, contours, dA, integrand, grdm, area=None, *,
                           lt: bool = False):
     upper = cal_contour_weigh_mean_hist(tracer, contours, dA, integrand * grdm, area, lt=lt)
     lower = cal_contour_weigh_mean_hist(tracer, contours, dA, grdm, area, lt=lt)
-    return upper / lower
+    return _grad_safe_div(upper, lower)
 
 
 def cal_sqared_equivalent_length(dgrdSdA, dqdA):
     """Leq^2 = (d int|grad q|^2 dA / dA) / (dq/dA)^2 (core.py:619-637).
     (Name kept verbatim from the reference API, typo included.)"""
-    return dgrdSdA / dqdA ** 2
+    return _grad_safe_div(dgrdSdA, dqdA ** 2)
 
 
 def cal_normalized_Keff(Leq2, Lmin, mask: float = 1e5):
     """nkeff = Leq^2 / Lmin^2, thresholded to NaN above ``mask``
     (core.py:945-966)."""
-    nkeff = Leq2 / Lmin / Lmin
+    nkeff = _grad_safe_div(Leq2, Lmin * Lmin)
     return jnp.where(nkeff < mask, nkeff, jnp.nan)
 
 
