@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from xcontour_tpu import grid as G
-from xcontour_tpu import core
+from xcontour_tpu import core, pipeline
 from xcontour_tpu.diagnostics import lwa as _lwa
 from xcontour_tpu.utils.ncio import load_dataset
 
@@ -55,11 +55,24 @@ def main():
           f"|dJ/dq| max {np.abs(sens).max():.3e}, "
           f"finite fraction {np.isfinite(sens).mean():.3f}")
 
+    # The Keff tail is differentiable too (NaN-primal-preserving safe
+    # divisions): where would a tracer perturbation change the mixing
+    # diagnostic the most?
+    def total_nkeff(tr):
+        out = pipeline.keff_pipeline(tr[None], grid, N=61, lmin="analytic")
+        return jnp.nansum(out["origin"]["nkeff"])
+
+    kval, ksens = jax.value_and_grad(total_nkeff)(v)
+    ksens = np.asarray(ksens)
+    print(f"sum(nkeff) = {float(kval):.4e}; "
+          f"|dJ/dq| max {np.abs(ksens).max():.3e}, "
+          f"finite fraction {np.isfinite(ksens).mean():.3f}")
+
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(2, 1, figsize=(10, 7), sharex=True)
+    fig, axes = plt.subplots(3, 1, figsize=(10, 10), sharex=True)
     axes[0].contourf(lon, lat, vor * 1e5, levels=21, cmap="RdBu_r")
     axes[0].set_title("absolute vorticity (1e-5 s$^{-1}$)")
     lim = np.percentile(np.abs(sens), 99.5)
@@ -68,6 +81,13 @@ def main():
     axes[1].set_title(r"adjoint sensitivity  $\partial\,\Sigma LWA^2 / "
                       r"\partial q(y,x)$")
     fig.colorbar(cf, ax=axes[1], shrink=0.9)
+    klim = np.percentile(np.abs(ksens), 99.5)
+    cfk = axes[2].contourf(lon, lat, ksens,
+                           levels=np.linspace(-klim, klim, 21),
+                           cmap="BrBG", extend="both")
+    axes[2].set_title(r"adjoint sensitivity  $\partial\,\Sigma nK_{eff} / "
+                      r"\partial q(y,x)$")
+    fig.colorbar(cfk, ax=axes[2], shrink=0.9)
     out_png = os.path.join(os.path.dirname(__file__), "ex7_adjoint.png")
     fig.tight_layout()
     fig.savefig(out_png, dpi=110)

@@ -193,6 +193,49 @@ def test_grad_flag_matrix_fuzz(rng):
         assert rel < 5e-3, (cfg, idx, fd, g[idx])
 
 
+def test_keff_grad_flag_matrix_fuzz(rng):
+    """Random Keff pipeline flag combinations (tracer direction x CDF
+    direction x hist/broadcast x all three lmin modes): jax.grad of
+    nansum(nkeff) is finite and FD-consistent at the strongest probe cell.
+    Sign/weight bugs in the adjoint hide exactly in the non-default flag
+    corners."""
+    from xcontour_tpu import pipeline
+
+    Ny, Nx = 16, 24
+    lat = np.linspace(-70, 70, Ny)
+    lon = np.linspace(0, 360 - 360 / Nx, Nx)
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    for trial in range(8):
+        increase = bool(rng.integers(2))
+        lt = bool(rng.integers(2))
+        hist = bool(rng.integers(2))
+        lmin = ["analytic", "dxF", "frac"][rng.integers(3)]
+        base = np.sin(np.deg2rad(lat))[:, None] + 0.15 * np.cos(
+            3 * np.deg2rad(lon))[None, :] * np.cos(np.deg2rad(lat))[:, None]
+        if not increase:
+            base = -base
+        v = jnp.asarray(base + 0.02 * rng.standard_normal((Ny, Nx)))
+
+        def loss(t):
+            out = pipeline.keff_pipeline(t[None], grid, N=15,
+                                         increase=increase, lt=lt,
+                                         hist=hist, lmin=lmin)
+            return jnp.nansum(out["origin"]["nkeff"])
+
+        g = np.asarray(jax.grad(loss)(v))
+        cfg = dict(trial=trial, increase=increase, lt=lt, hist=hist,
+                   lmin=lmin)
+        assert np.isfinite(g).all(), cfg
+        if np.abs(g).max() == 0:
+            continue
+        idx = np.unravel_index(np.abs(g).argmax(), g.shape)
+        eps = 1e-6
+        fd = (float(loss(v.at[idx].add(eps)))
+              - float(loss(v.at[idx].add(-eps)))) / (2 * eps)
+        rel = abs(fd - g[idx]) / (abs(fd) + abs(g[idx]))
+        assert rel < 5e-3, (cfg, idx, fd, g[idx])
+
+
 def test_contour_length_gradients(rng):
     """Marching-squares perimeters are genuinely differentiable in the
     tracer (vertex positions are linear interpolations of corner values):

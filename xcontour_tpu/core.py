@@ -211,16 +211,63 @@ def cal_area_eqCoord_table_hist(mask, ydef, dA, *, increase: bool, lt: bool) -> 
 # ---------------------------------------------------------------------------
 # contour-space calculus — reference core.py:463-637, 945-966
 # ---------------------------------------------------------------------------
+@jax.custom_vjp
 def _grad_safe_div(num, den):
     """``num / den`` with the raw primal (0/0 -> NaN, x/0 -> inf, exactly as
-    the plain division) but a finite VJP where ``den == 0``: the degenerate
-    lanes take the raw quotient through ``stop_gradient`` (zero jacobian)
-    while live lanes divide by a guarded denominator, so the downstream
-    0-cotangent x NaN-jacobian product that poisons ``jax.grad`` through the
-    Keff tail never forms."""
+    the plain division) but a VJP that (a) zeroes degenerate lanes
+    (den == 0 or NaN operands), killing the 0-cotangent x NaN-jacobian
+    products that poison ``jax.grad`` through the Keff tail, and (b)
+    evaluates the live-lane cotangents FACTORED — ``(g/d)`` before the next
+    ``/d`` — so no ``den**2`` intermediate under/overflows when the Keff
+    quantities span ~35 f32 decades (area ~1e14 m^2, dq/dA ~1e-19)."""
+    return num / den
+
+
+def _grad_safe_div_fwd(num, den):
+    return num / den, (num, den)
+
+
+def _grad_safe_div_bwd(res, g):
+    num, den = res
     bad = (den == 0) | jnp.isnan(den) | jnp.isnan(num)
-    raw = jax.lax.stop_gradient(num) / jax.lax.stop_gradient(den)
-    return jnp.where(bad, raw, num / jnp.where(bad, 1.0, den))
+    d = jnp.where(bad, 1.0, den)
+    gd = g / d
+    gnum = jnp.where(bad, 0.0, gd)
+    gden = jnp.where(bad, 0.0, -gd * (num / d))
+    return gnum, gden
+
+
+_grad_safe_div.defvjp(_grad_safe_div_fwd, _grad_safe_div_bwd)
+
+
+@jax.custom_vjp
+def _grad_safe_div_sq(num, den):
+    """``num / den**2`` (the Leq^2 form) with the raw primal and a fused,
+    factored VJP.  Splitting this into ``den**2`` then a division overflows
+    reverse-mode f32 even with :func:`_grad_safe_div`: the cotangent into
+    ``den**2`` is ``-g*num/den**4``-scale (~1e39 for ERA-scale units) and
+    only the FUSED cotangent ``-2*g*num/den**3`` times the chain's small
+    factors stays representable.  Factored as ``-2*(g*(num/d/d))/d`` every
+    intermediate is in f32 range."""
+    return num / den ** 2
+
+
+def _grad_safe_div_sq_fwd(num, den):
+    return num / den ** 2, (num, den)
+
+
+def _grad_safe_div_sq_bwd(res, g):
+    num, den = res
+    bad = (den == 0) | jnp.isnan(den) | jnp.isnan(num)
+    d = jnp.where(bad, 1.0, den)
+    gd = g / d
+    L = (num / d) / d
+    gnum = jnp.where(bad, 0.0, gd / d)
+    gden = jnp.where(bad, 0.0, -2.0 * (g * L) / d)
+    return gnum, gden
+
+
+_grad_safe_div_sq.defvjp(_grad_safe_div_sq_fwd, _grad_safe_div_sq_bwd)
 
 
 @jax.jit
@@ -266,7 +313,7 @@ def cal_contour_mean_hist(tracer, contours, dA, integrand, grdm, area=None, *,
 def cal_sqared_equivalent_length(dgrdSdA, dqdA):
     """Leq^2 = (d int|grad q|^2 dA / dA) / (dq/dA)^2 (core.py:619-637).
     (Name kept verbatim from the reference API, typo included.)"""
-    return _grad_safe_div(dgrdSdA, dqdA ** 2)
+    return _grad_safe_div_sq(dgrdSdA, dqdA)
 
 
 def cal_normalized_Keff(Leq2, Lmin, mask: float = 1e5):
