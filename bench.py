@@ -221,6 +221,42 @@ def headline(lat, lon, vor, batch=32, N=121):
     return sps
 
 
+def adjoint_section(lat, lon, vor, batch=32, N=121):
+    """Gradient-step throughput of the combined diagnostic: one
+    jit(grad(nansum(LWA^2) + nansum(nkeff))) per batch — the adjoint
+    capability the reference stack cannot express, measured at the headline
+    workload shape.  The custom VJPs route the backward through the XLA
+    twins of the Pallas forwards."""
+    import jax
+    import jax.numpy as jnp
+    from xcontour_tpu import grid as G
+    from xcontour_tpu.pipeline import keff_lwa_pipeline
+
+    grid = G.from_latlon(lat, lon, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    snaps = vor[None] * (1.0 + 1e-4 * rng.standard_normal((batch, 1, 1)))
+    tr = jnp.asarray(snaps, jnp.float32)
+
+    def loss(t):
+        out = keff_lwa_pipeline(t, grid, N=N, increase=True, lt=True,
+                                lmin="analytic")
+        return jnp.nansum(out["lwa"] * out["lwa"]) + jnp.nansum(out["nkeff"])
+
+    @jax.jit
+    def gstep(t):
+        g = jax.grad(loss)(t)
+        return t + 1e-30 * g
+
+    g = np.asarray(jax.grad(loss)(tr))
+    finite = float(np.isfinite(g).mean())
+    per = float(np.median([device_time(gstep, tr, reps=8) for _ in range(3)]))
+    return {"grad_sps": round(batch / per, 1),
+            "grad_finite_fraction": finite,
+            "loss": "nansum(LWA^2) + nansum(nkeff), 256x512 N=121 f32",
+            "note": ("full forward+backward per step; TPU-vs-CPU f32 "
+                     "gradient parity ~3e-5 (test_differentiable.py)")}
+
+
 def _kernel_time(kernel_of_x, x0, inner_lo=2, inner_hi=10, reps=8):
     """Per-invocation kernel time with BOTH overheads cancelled: the outer
     slope (device_time) removes the tunnel round-trip, and an inner slope —
@@ -691,6 +727,7 @@ def main(argv=None):
 
     sps = headline(lat, lon, vor, batch=batch)
     kernels = kernel_rooflines(lat, lon, vor, batch=batch)
+    adjoint = adjoint_section(lat, lon, vor, batch=batch)
     tall = workloads = ooc = None
     if not args.quick:
         tall = lwa_tall()
@@ -724,6 +761,7 @@ def main(argv=None):
 
     details = {
         "kernels": kernels,
+        "adjoint": adjoint,
         "lwa_tall": tall,
         "workloads": workloads,
         "out_of_core": ooc,
@@ -768,6 +806,7 @@ def main(argv=None):
     if workloads is not None:
         line["era5_sps"] = workloads["era5_keff_lwa_sps"]
         line["year_pv_s"] = workloads["year_pv_s"]
+    line["adjoint_sps"] = adjoint["grad_sps"]
     out = json.dumps(line)
     assert len(out) < 1500, f"compact line grew to {len(out)} bytes"
     print(out)

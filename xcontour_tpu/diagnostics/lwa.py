@@ -128,10 +128,14 @@ def _lwa_dense_xla(q, Q, W, ydef, *, increase: bool, part: str,
 
 def _lwa_pallas_ad(q, Q, W, ydef, *, increase: bool, part: str,
                    variant2: bool, pairwise: bool, chunk: int):
-    """Pallas forward with the dense XLA twin's VJP: Pallas calls have no AD
+    """Pallas forward with the XLA twin's VJP: Pallas calls have no AD
     rule, so jax.grad through the TPU LWA path differentiates the
-    mathematically-identical dense form instead (FD-validated on CPU by
-    tests/test_differentiable.py)."""
+    mathematically-identical XLA form instead (FD-validated on CPU by
+    tests/test_differentiable.py).  The backward matches the forward's
+    algorithm: the linearized twin for the default part='all' path (its
+    VJP is O(Ny·Nx) per surface — differentiating the dense pairwise form
+    here cost ~100x the forward) and the dense twin for the
+    pairwise/part-selected path (part masks don't linearize)."""
     @jax.custom_vjp
     def f(q, Q, W, ydef):
         return _lwa_via_pallas(q, Q, W, increase, part, variant2,
@@ -142,10 +146,14 @@ def _lwa_pallas_ad(q, Q, W, ydef, *, increase: bool, part: str,
 
     def bwd(res, g):
         qr, Qr, Wr, yr = res
-        _, vjp = jax.vjp(
-            lambda a, b, c, d: _lwa_dense_xla(a, b, c, d, increase=increase,
-                                              part=part, variant2=variant2,
-                                              chunk=chunk), qr, Qr, Wr, yr)
+        if pairwise:
+            twin = lambda a, b, c, d: _lwa_dense_xla(
+                a, b, c, d, increase=increase, part=part, variant2=variant2,
+                chunk=chunk)
+        else:
+            twin = lambda a, b, c, d: _lwa_lin_xla(
+                a, b, c, increase, variant2, chunk)
+        _, vjp = jax.vjp(twin, qr, Qr, Wr, yr)
         return vjp(g)
 
     f.defvjp(fwd, bwd)

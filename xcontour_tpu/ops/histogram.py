@@ -102,10 +102,54 @@ def _pallas_cdf_multi_ad_fwd(vf, edges, wf):
     return _pallas_cdf_multi_ad(vf, edges, wf), (vf, edges, wf)
 
 
+def _cdf_wf_cotangent(vf, edges, wf, g, block: int = 16):
+    """Gather-free weight cotangent of :func:`_edges_cdf_xla`.
+
+    The ascending-cumsum CDF is linear in the weights:
+    ``out[b,c,k] = sum_g wf[b,c,g] * 1[valid(g) & idx(g) <= k]``, so
+    ``cot_wf[b,c,g] = sum_k g[b,c,k] * 1[idx(g) <= k]`` on valid non-NaN
+    lanes.  ``idx <= k  <=>  v < edges[k+1]`` holds exactly for
+    searchsorted(side='right') even with duplicate edges, so the cotangent
+    is a blocked compare + einsum over levels — the same pass structure as
+    the forward — instead of autodiff's segment-sum backward, whose (B, G)
+    gathers cost ~260 ms at the headline shape (vs ~1 ms here; TPU gathers
+    are the recurring lesson in docs/PERF.md)."""
+    B, G = vf.shape
+    C = g.shape[1]
+    N = edges.shape[-1] - 1
+    e0, eN = edges[:, :1], edges[:, -1:]
+    top = vf == eN                          # idx forced to N-1: only k=N-1
+    in_rng = (vf >= e0) & (vf < eN)         # idx in [0, N-1] the normal way
+
+    ehi = edges[:, 1:]                      # e_{k+1} for level k, (B, N)
+    npad = (-N) % block
+    if npad:
+        # padded levels never fire (+inf edge) and carry zero cotangent
+        ehi = jnp.concatenate(
+            [ehi, jnp.full((B, npad), jnp.inf, ehi.dtype)], axis=-1)
+        g = jnp.concatenate(
+            [g, jnp.zeros((B, C, npad), g.dtype)], axis=-1)
+    nb = (N + npad) // block
+    ehi_b = ehi.reshape(B, nb, block)
+    g_b = g.reshape(B, C, nb, block)
+
+    def body(k, acc):
+        cmp = (vf[:, None, :] < ehi_b[:, k, :, None]).astype(g.dtype)
+        return acc + jnp.einsum("bkg,bck->bcg",
+                                cmp, g_b[:, :, k, :],
+                                preferred_element_type=g.dtype)
+
+    acc = jax.lax.fori_loop(0, nb, body,
+                            jnp.zeros((B, C, G), g.dtype))
+    acc = acc + jnp.where(top[:, None, :], g[:, :, N - 1:N], 0.0)
+    live = (in_rng | top)[:, None, :] & ~jnp.isnan(wf)
+    return jnp.where(live, acc, 0.0)
+
+
 def _pallas_cdf_multi_ad_bwd(res, g):
     vf, edges, wf = res
-    _, vjp = jax.vjp(_edges_cdf_xla, vf, edges, wf)
-    return vjp(g)
+    return (jnp.zeros_like(vf), jnp.zeros_like(edges),
+            _cdf_wf_cotangent(vf, edges, wf, g))
 
 
 _pallas_cdf_multi_ad.defvjp(_pallas_cdf_multi_ad_fwd, _pallas_cdf_multi_ad_bwd)
