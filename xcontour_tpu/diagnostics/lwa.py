@@ -151,8 +151,13 @@ def _lwa_pallas_ad(q, Q, W, ydef, *, increase: bool, part: str,
                 a, b, c, d, increase=increase, part=part, variant2=variant2,
                 chunk=chunk)
         else:
+            # full-chunk twin: a single vmapped surface sweep (no lax.map)
+            # lets XLA fuse the O(Ny^2 Nx) reduce in the backward instead of
+            # serializing Ny/chunk scan steps — measured 13.8 -> 5.9 ms for
+            # the 32x256x512 backward; the broadcasts stay fused, nothing
+            # (chunk, B, Ny, Nx)-sized is materialized
             twin = lambda a, b, c, d: _lwa_lin_xla(
-                a, b, c, increase, variant2, chunk)
+                a, b, c, increase, variant2, a.shape[-2])
         _, vjp = jax.vjp(twin, qr, Qr, Wr, yr)
         return vjp(g)
 
