@@ -221,7 +221,7 @@ def headline(lat, lon, vor, batch=32, N=121):
     return sps
 
 
-def adjoint_section(lat, lon, vor, batch=32, N=121):
+def adjoint_section(lat, lon, vor, batch=32, N=121, era5=False):
     """Gradient-step throughput of the combined diagnostic: one
     jit(grad(nansum(LWA^2) + nansum(nkeff))) per batch — the adjoint
     capability the reference stack cannot express, measured at the headline
@@ -250,11 +250,35 @@ def adjoint_section(lat, lon, vor, batch=32, N=121):
     g = np.asarray(jax.grad(loss)(tr))
     finite = float(np.isfinite(g).mean())
     per = float(np.median([device_time(gstep, tr, reps=8) for _ in range(3)]))
-    return {"grad_sps": round(batch / per, 1),
-            "grad_finite_fraction": finite,
-            "loss": "nansum(LWA^2) + nansum(nkeff), 256x512 N=121 f32",
-            "note": ("full forward+backward per step; TPU-vs-CPU f32 "
-                     "gradient parity ~3e-5 (test_differentiable.py)")}
+    out = {"grad_sps": round(batch / per, 1),
+           "grad_finite_fraction": finite,
+           "loss": "nansum(LWA^2) + nansum(nkeff), 256x512 N=121 f32",
+           "note": ("full forward+backward per step; TPU-vs-CPU f32 "
+                    "gradient parity ~3e-5 (test_differentiable.py)")}
+    if era5:
+        Ny, Nx, B2, N2 = 721, 1440, 4, 241
+        lat2 = np.linspace(-90, 90, Ny)
+        lon2 = np.linspace(0, 360 - 360 / Nx, Nx)
+        grid2 = G.from_latlon(lat2, lon2, dtype=jnp.float32)
+        base = (np.sin(np.deg2rad(lat2))[:, None]
+                + 0.2 * np.cos(4 * np.deg2rad(lon2))[None, :]
+                * np.cos(np.deg2rad(lat2))[:, None])
+        tr2 = jnp.asarray(base[None] * (1 + 1e-3 * rng.standard_normal(
+            (B2, 1, 1))), jnp.float32)
+
+        def loss2(t):
+            o = keff_lwa_pipeline(t, grid2, N=N2, lmin="analytic")
+            return jnp.nansum(o["lwa"] * o["lwa"]) + jnp.nansum(o["nkeff"])
+
+        @jax.jit
+        def gstep2(t):
+            return t + 1e-30 * jax.grad(loss2)(t)
+
+        per2 = float(np.median([device_time(gstep2, tr2, reps=4)
+                                for _ in range(2)]))
+        out["era5_grad_sps"] = round(B2 / per2, 1)
+        out["era5_shape"] = "721x1440 N=241 f32"
+    return out
 
 
 def _kernel_time(kernel_of_x, x0, inner_lo=2, inner_hi=10, reps=8):
@@ -727,7 +751,8 @@ def main(argv=None):
 
     sps = headline(lat, lon, vor, batch=batch)
     kernels = kernel_rooflines(lat, lon, vor, batch=batch)
-    adjoint = adjoint_section(lat, lon, vor, batch=batch)
+    adjoint = adjoint_section(lat, lon, vor, batch=batch,
+                              era5=not args.quick)
     tall = workloads = ooc = None
     if not args.quick:
         tall = lwa_tall()

@@ -64,3 +64,45 @@ def test_f32_accuracy_on_real_sizes(rng):
     got = weighted_cdf(jnp.asarray(v, jnp.float32), jnp.asarray(bins, jnp.float32),
                        jnp.asarray(w, jnp.float32), True)
     np.testing.assert_allclose(np.asarray(got, np.float64), want, rtol=2e-5)
+
+
+def test_cdf_analytic_weight_cotangent_matches_autodiff(rng):
+    """The gather-free backward of the Pallas CDF (ops/histogram.py
+    _cdf_wf_cotangent) equals jax.vjp of the XLA twin exactly — including
+    the adversarial lanes where the closed form could diverge: values tied
+    to edges, the inclusive top edge, out-of-range and NaN values, NaN
+    weights, and duplicate (zero-width) edges from a constant tracer."""
+    import jax
+    import jax.numpy as jnp
+    from xcontour_tpu.ops.histogram import _edges_cdf_xla, _cdf_wf_cotangent
+
+    B, C, G, N = 3, 2, 64, 9
+    for trial in range(6):
+        v = rng.normal(size=(B, G))
+        edges = np.sort(rng.normal(size=(B, N + 1)), axis=-1)
+        if trial == 1:          # ties: put values exactly on edges
+            v[:, :N + 1] = edges
+        if trial == 2:          # out-of-range lanes both sides
+            v[:, 0] = edges[:, 0] - 5.0
+            v[:, 1] = edges[:, -1] + 5.0
+            v[:, 2] = edges[:, -1]            # inclusive top edge
+        if trial == 3:          # NaN values
+            v[:, ::7] = np.nan
+        if trial == 5:          # duplicate edges (constant tracer)
+            edges[0, :] = 1.0
+            v[0, :4] = 1.0
+        w = rng.uniform(0.1, 2.0, size=(B, C, G))
+        if trial == 4:          # NaN weights
+            w[:, :, ::5] = np.nan
+        vf, ef, wf = jnp.asarray(v), jnp.asarray(edges), jnp.asarray(w)
+        g = jnp.asarray(rng.normal(size=(B, C, N)))
+
+        _, vjp = jax.vjp(_edges_cdf_xla, vf, ef, wf)
+        gv_ref, ge_ref, gw_ref = vjp(g)
+        gw = _cdf_wf_cotangent(vf, ef, wf, g)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                                   rtol=1e-12, atol=1e-12,
+                                   err_msg=f"trial {trial}")
+        # the twin's value/edge cotangents are structurally zero
+        assert not np.asarray(gv_ref).any()
+        assert not np.asarray(ge_ref).any()
