@@ -279,6 +279,53 @@ def test_contour_length_gradients(rng):
     assert np.isfinite(g2).all()
 
 
+def test_contour_length_gradients_pipeline_levels(rng):
+    """The gradient stays finite with cal_contours-generated levels — whose
+    endpoints are pinned to the EXACT field min/max, creating zero-length
+    segments through cell corners (hypot/haversine have infinite jacobians
+    at zero separation; those lanes take the zero subgradient) — and with
+    NaN levels from all-NaN batch elements."""
+    from xcontour_tpu import core
+    from xcontour_tpu.diagnostics.length import contour_lengths
+
+    Ny, Nx = 20, 30
+    lat = np.linspace(-60.0, 60.0, Ny)
+    lon = np.linspace(0.0, 348.0, Nx)
+    data = (np.sin(np.deg2rad(lat))[:, None]
+            + 0.3 * rng.standard_normal((Ny, Nx)))
+
+    def loss(d):
+        ctr = core.cal_contours(d[None], 9, increase=True)
+        L = contour_lengths(d[None], ctr, jnp.asarray(lat), jnp.asarray(lon),
+                            latlon=True)
+        return jnp.nansum(L)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(data)))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+    # planar geometry too (hypot path)
+    def loss_planar(d):
+        ctr = core.cal_contours(d[None], 9, increase=True)
+        L = contour_lengths(d[None], ctr, jnp.asarray(lat), jnp.asarray(lon),
+                            latlon=False)
+        return jnp.nansum(L)
+
+    gp = np.asarray(jax.grad(loss_planar)(jnp.asarray(data)))
+    assert np.isfinite(gp).all()
+
+    # explicit NaN level (all-NaN batch elements produce these)
+    def loss_nan_level(d):
+        ctr = jnp.asarray([0.0, jnp.nan])
+        L = contour_lengths(d[None], ctr, jnp.asarray(lat), jnp.asarray(lon),
+                            latlon=True)
+        return jnp.nansum(L)
+
+    gn = np.asarray(jax.grad(loss_nan_level)(jnp.asarray(data)))
+    assert np.isfinite(gn).all()
+    assert np.abs(gn).max() > 0
+
+
 def test_length_pallas_path_grad_matches_xla(rng, monkeypatch):
     """grad through the Pallas length kernels (global + batched-window)
     equals the XLA-path gradient (custom VJPs over the XLA twins;
@@ -365,20 +412,41 @@ def test_keff_pipeline_adjoint_matches_finite_differences(rng):
 
 def test_grad_safe_div_primal_matches_raw_division(rng):
     """core._grad_safe_div is bit-identical to plain division on the primal
-    (0/0 -> NaN, x/0 -> +-inf, NaN operands propagate) while its VJP is
-    finite everywhere."""
-    from xcontour_tpu.core import _grad_safe_div
+    (0/0 -> NaN, x/0 -> +-inf, NaN/inf operands propagate) while its VJP is
+    finite everywhere — including inf operands (which x/0 from an UPSTREAM
+    safe division legitimately produces) and inf/inf lanes."""
+    from xcontour_tpu.core import _grad_safe_div, _grad_safe_div_sq
 
-    num = jnp.asarray([1.0, 0.0, -2.0, jnp.nan, 3.0, 0.0])
-    den = jnp.asarray([2.0, 0.0, 0.0, 1.0, jnp.nan, 0.0])
+    num = jnp.asarray([1.0, 0.0, -2.0, jnp.nan, 3.0, 0.0,
+                       jnp.inf, 1.0, jnp.inf])
+    den = jnp.asarray([2.0, 0.0, 0.0, 1.0, jnp.nan, 0.0,
+                       2.0, jnp.inf, jnp.inf])
     raw = np.asarray(num) / np.asarray(den)
     out = np.asarray(_grad_safe_div(num, den))
     np.testing.assert_array_equal(out, raw)
 
-    g = jax.grad(lambda a, b: jnp.nansum(
-        jnp.where(jnp.isfinite(_grad_safe_div(a, b)),
-                  _grad_safe_div(a, b), 0.0)))(num, den)
-    assert np.isfinite(np.asarray(g)).all()
+    def loss(a, b):
+        o = _grad_safe_div(a, b)
+        return jnp.nansum(jnp.where(jnp.isfinite(o), o, 0.0))
+
+    g = jax.grad(loss, argnums=(0, 1))(num, den)
+    assert np.isfinite(np.asarray(g[0])).all()
+    assert np.isfinite(np.asarray(g[1])).all()
+
+    # the fused n/d^2 form: same primal as a plain n/d**2, finite VJP even
+    # where den**2 under/overflows (primal inf with den != 0)
+    num2 = jnp.asarray([1.0, 1.0, jnp.inf, 2.0], jnp.float32)
+    den2 = jnp.asarray([1e-25, 1.0, jnp.inf, 3.0], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(_grad_safe_div_sq(num2, den2)),
+                                  np.asarray(num2) / np.asarray(den2) ** 2)
+
+    def loss2(a, b):
+        o = _grad_safe_div_sq(a, b)
+        return jnp.nansum(jnp.where(jnp.isfinite(o), o, 0.0))
+
+    g2 = jax.grad(loss2, argnums=(0, 1))(num2, den2)
+    assert np.isfinite(np.asarray(g2[0])).all()
+    assert np.isfinite(np.asarray(g2[1])).all()
 
 
 def test_adjoint_through_batched_pipeline_is_finite(rng):

@@ -229,11 +229,17 @@ def _grad_safe_div_fwd(num, den):
 
 def _grad_safe_div_bwd(res, g):
     num, den = res
-    bad = (den == 0) | jnp.isnan(den) | jnp.isnan(num)
+    # non-finite OPERANDS (inf quotients from an upstream safe division are
+    # legitimate primal values here) and any residual non-finite cotangent
+    # products (f32 overflow at extreme scale ratios) are zeroed: degenerate
+    # and overflowing lanes get the zero subgradient, never NaN poison
+    bad = (den == 0) | ~jnp.isfinite(den) | ~jnp.isfinite(num)
     d = jnp.where(bad, 1.0, den)
     gd = g / d
     gnum = jnp.where(bad, 0.0, gd)
     gden = jnp.where(bad, 0.0, -gd * (num / d))
+    gnum = jnp.where(jnp.isfinite(gnum), gnum, 0.0)
+    gden = jnp.where(jnp.isfinite(gden), gden, 0.0)
     return gnum, gden
 
 
@@ -258,12 +264,18 @@ def _grad_safe_div_sq_fwd(num, den):
 
 def _grad_safe_div_sq_bwd(res, g):
     num, den = res
-    bad = (den == 0) | jnp.isnan(den) | jnp.isnan(num)
+    # same policy as _grad_safe_div_bwd: non-finite operands, den**2
+    # underflow (primal inf with den != 0), and overflowing factored
+    # products all take the zero subgradient
+    bad = ((den == 0) | (den * den == 0)
+           | ~jnp.isfinite(den) | ~jnp.isfinite(num))
     d = jnp.where(bad, 1.0, den)
     gd = g / d
     L = (num / d) / d
     gnum = jnp.where(bad, 0.0, gd / d)
     gden = jnp.where(bad, 0.0, -2.0 * (g * L) / d)
+    gnum = jnp.where(jnp.isfinite(gnum), gnum, 0.0)
+    gden = jnp.where(jnp.isfinite(gden), gden, 0.0)
     return gnum, gden
 
 
@@ -318,8 +330,11 @@ def cal_sqared_equivalent_length(dgrdSdA, dqdA):
 
 def cal_normalized_Keff(Leq2, Lmin, mask: float = 1e5):
     """nkeff = Leq^2 / Lmin^2, thresholded to NaN above ``mask``
-    (core.py:945-966)."""
-    nkeff = _grad_safe_div(Leq2, Lmin * Lmin)
+    (core.py:945-966).  Two sequential divisions, NOT /(Lmin*Lmin): the
+    float64 oracle (compat.py) and the reference compute Leq2/Lmin/Lmin,
+    and the fused form rounds differently by up to 1 ulp — enough to flip
+    the `< mask` threshold on boundary values."""
+    nkeff = _grad_safe_div(_grad_safe_div(Leq2, Lmin), Lmin)
     return jnp.where(nkeff < mask, nkeff, jnp.nan)
 
 

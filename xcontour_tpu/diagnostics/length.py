@@ -33,11 +33,28 @@ from ..utils.constants import Rearth as _REARTH
 
 
 def _haversine(lon1, lon2, lat1, lat2):
-    """Great-circle distance, unit sphere, radians (reference utils.py:734-761)."""
+    """Great-circle distance, unit sphere, radians (reference utils.py:734-761).
+
+    Gradient-safe at the endpoints of arcsin(sqrt(.)): a == 0 (coincident
+    points — guaranteed by cal_contours' endpoint-pinned levels, which
+    create zero-length segments through cell corners) and a == 1 (antipodal)
+    have infinite d/da; those lanes take the exact constant primal (0 or pi)
+    instead, so jax.grad gets the zero subgradient rather than NaN."""
     dlon = lon2 - lon1
     dlat = lat2 - lat1
     a = jnp.sin(dlat * 0.5) ** 2 + jnp.cos(lat1) * jnp.cos(lat2) * jnp.sin(dlon * 0.5) ** 2
-    return 2.0 * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
+    a = jnp.clip(a, 0.0, 1.0)
+    bad = (a == 0.0) | (a == 1.0)
+    core = 2.0 * jnp.arcsin(jnp.sqrt(jnp.where(bad, 0.25, a)))
+    return jnp.where(bad, jnp.where(a == 0.0, 0.0, jnp.pi), core)
+
+
+def _hypot_grad_safe(d0, d1):
+    """jnp.hypot with the zero subgradient at (0, 0) (hypot's own jacobian
+    is 0/0 = NaN there; zero-length segments are routine, see _haversine)."""
+    deg = (d0 == 0.0) & (d1 == 0.0)
+    safe = jnp.hypot(jnp.where(deg, 1.0, d0), jnp.where(deg, 1.0, d1))
+    return jnp.where(deg, 0.0, safe)
 
 
 def _level_total_length(level, v00, v01, v10, v11, y0, y1, x0, x1,
@@ -75,7 +92,7 @@ def _level_total_length(level, v00, v01, v10, v11, y0, y1, x0, x1,
             return _haversine(p[1], q[1], p[0], q[0])
     else:
         def seglen(p, q):
-            return jnp.hypot(p[0] - q[0], p[1] - q[1])
+            return _hypot_grad_safe(p[0] - q[0], p[1] - q[1])
 
     iso00 = (a00 != a01) & (a00 != a10) & (a01 == a11)
     iso01 = (a01 != a00) & (a01 != a11) & (a00 == a10)
@@ -126,9 +143,16 @@ def _lengths_totals_xla(data, ctr, yc, xc, *, latlon: bool, chunk: int):
 
     def one_level(k):
         c = ctr[..., k]  # (...,) per-batch level
-        cb = c[..., None, None] if batch_shape else c
-        return _level_total_length(cb, v00, v01, v10, v11, y0, y1, x0, x1,
-                                   nan_cell, latlon)
+        # NaN levels (all-NaN batch elements in cal_contours) are evaluated
+        # at 0 under the hood and re-zeroed, exactly like the local-window
+        # twin: the raw NaN would poison the VJP of every cell it compares
+        # against, while the primal is unchanged (0 -> NaN under the
+        # caller's empty-contour rule either way)
+        cs = jnp.where(jnp.isnan(c), 0.0, c)
+        cb = cs[..., None, None] if batch_shape else cs
+        tot = _level_total_length(cb, v00, v01, v10, v11, y0, y1, x0, x1,
+                                  nan_cell, latlon)
+        return jnp.where(jnp.isnan(c), 0.0, tot)
 
     chunk = max(1, min(chunk, N))
     npad = (-N) % chunk
