@@ -15,6 +15,9 @@ setup(
     keywords="contour jax tpu pallas equivalent-latitude effective-diffusivity",
     packages=find_packages(exclude=["docs", "tests", "examples", "tools"]),
     package_data={"xcontour_tpu": ["../csrc/*.cpp"]},
+    entry_points={
+        "console_scripts": ["xcontour-tpu = xcontour_tpu.cli:main"],
+    },
     python_requires=">=3.10",
     install_requires=[
         "numpy",

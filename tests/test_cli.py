@@ -1,0 +1,213 @@
+"""End-to-end tests of the batch CLI (python -m xcontour_tpu ...).
+
+Drives cli.main() in-process on synthetic netCDF files written through
+utils.ncio (both HDF5/nc4 and classic nc3 flavors), and asserts the output
+files reproduce direct pipeline calls element-for-element.  Models the
+reference's production drivers (tests/LWA.py, test_Keff_atmos.py) as a
+deployable command instead of a hand-edited script.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from xcontour_tpu import cli, pipeline
+from xcontour_tpu.grid import from_latlon
+from xcontour_tpu.utils.ncio import load_dataset, save_dataset, \
+    save_dataset_nc3
+
+
+@pytest.fixture
+def synth_nc(tmp_path, rng):
+    """A small (time=5, lat=24, lon=36) archive in netCDF-4 flavor."""
+    T, Ny, Nx = 5, 24, 36
+    lat = np.linspace(-60.0, 60.0, Ny)
+    lon = np.linspace(0.0, 350.0, Nx)
+    q = (np.sin(np.deg2rad(lat))[None, :, None]
+         + 0.25 * rng.standard_normal((T, Ny, Nx))).astype(np.float32)
+    path = str(tmp_path / "synth.nc")
+    save_dataset(path,
+                 {"q": q, "latitude": lat, "longitude": lon},
+                 {"q": ("time", "latitude", "longitude"),
+                  "latitude": ("latitude",), "longitude": ("longitude",)},
+                 coords={"latitude": lat, "longitude": lon,
+                         "time": np.arange(T, dtype=np.int32)})
+    return path, q, lat, lon
+
+
+def test_cli_keff_matches_pipeline(synth_nc, tmp_path, capsys):
+    path, q, lat, lon = synth_nc
+    out = str(tmp_path / "keff.nc")
+    rc = cli.main(["keff", path, "--var", "q", "-N", "21", "--batch", "3",
+                   "--out", out])
+    assert rc == 0
+    assert "wrote" in capsys.readouterr().out
+
+    ds = load_dataset(out)
+    assert ds.dims_of("nkeff") == ("time", "contour")
+    assert ds["nkeff"].shape == (5, 21)
+
+    grid = from_latlon(lat, lon, dim_names=("latitude", "longitude"))
+    ref = pipeline.keff_pipeline(jnp.asarray(q), grid, N=21,
+                                 increase=True, lt=True, lmin="analytic")
+    np.testing.assert_array_equal(ds["nkeff"],
+                                  np.asarray(ref["origin"]["nkeff"]))
+    np.testing.assert_array_equal(ds["Yeq"], np.asarray(ref["origin"]["Yeq"]))
+    # level values live under 'levels'; the 'contour' dim is the level index
+    np.testing.assert_array_equal(ds["levels"],
+                                  np.asarray(ref["origin"]["contour"]))
+
+    # --fields subsetting happens after labeling: the contour dim (and its
+    # coordinate) survive even when 'levels' itself is filtered out
+    out2 = str(tmp_path / "keff_sub.nc")
+    rc = cli.main(["keff", path, "--var", "q", "-N", "21",
+                   "--fields", "nkeff", "--out", out2])
+    assert rc == 0
+    ds2 = load_dataset(out2)
+    assert set(ds2.variables) == {"nkeff", "latitude", "longitude",
+                                  "contour", "time"}
+    assert ds2.dims_of("nkeff") == ("time", "contour")
+    np.testing.assert_array_equal(ds2["nkeff"], ds["nkeff"])
+
+
+def test_cli_autodetect_var_and_default_out(synth_nc, tmp_path, monkeypatch):
+    path, q, lat, lon = synth_nc
+    # only one variable sits on the (latitude, longitude) plane -> no --var
+    rc = cli.main(["clength", path, "-N", "11",
+                   "--out", str(tmp_path / "cl.nc")])
+    assert rc == 0
+    ds = load_dataset(str(tmp_path / "cl.nc"))
+    assert ds["lengths"].shape == (5, 11)
+    assert np.isfinite(ds["lengths"]).any()
+
+
+def test_cli_lwa_nc3_roundtrip(synth_nc, tmp_path):
+    path, q, lat, lon = synth_nc
+    out = str(tmp_path / "lwa.nc")
+    rc = cli.main(["lwa", path, "--var", "q", "-N", "21", "--format", "nc3",
+                   "--out", out, "--fields", "lwa,Q"])
+    assert rc == 0
+    ds = load_dataset(out)
+    assert set(ds.variables) >= {"lwa", "Q"}
+    assert "Yeq" not in ds.variables  # --fields filtered
+    assert ds.dims_of("lwa") == ("time", "latitude", "longitude")
+    assert ds.dims_of("Q") == ("time", "latitude")
+
+    grid = from_latlon(lat, lon, dim_names=("latitude", "longitude"))
+    ref = pipeline.lwa_pipeline(jnp.asarray(q), grid, N=21,
+                                increase=True, lt=True)
+    np.testing.assert_array_equal(ds["lwa"], np.asarray(ref["lwa"]))
+
+
+def test_cli_keff_lwa_interp_eq(synth_nc, tmp_path):
+    path, q, lat, lon = synth_nc
+    out = str(tmp_path / "kl.nc")
+    rc = cli.main(["keff-lwa", path, "--var", "q", "-N", "21",
+                   "--interp-eq", "--out", out])
+    assert rc == 0
+    ds = load_dataset(out)
+    # interp products land on the grid's equivalent coordinate
+    assert ds.dims_of("nkeff_at") == ("time", "latitude")
+    assert ds["nkeff_at"].shape == (5, len(lat))
+
+
+def test_cli_isel_and_lead_dims(tmp_path, rng):
+    """4-D input (time, lev, lat, lon): lead dims stream flattened and come
+    back named; --isel slices a named lead dim away."""
+    T, L, Ny, Nx = 3, 2, 16, 24
+    lat = np.linspace(-45.0, 45.0, Ny)
+    lon = np.linspace(0.0, 345.0, Nx)
+    q = rng.standard_normal((T, L, Ny, Nx)).astype(np.float32)
+    path = str(tmp_path / "four_d.nc")
+    save_dataset(path,
+                 {"pv": q, "latitude": lat, "longitude": lon},
+                 {"pv": ("time", "lev", "latitude", "longitude"),
+                  "latitude": ("latitude",), "longitude": ("longitude",)},
+                 coords={"latitude": lat, "longitude": lon,
+                         "lev": np.asarray([850.0, 500.0]),
+                         "time": np.arange(T, dtype=np.int32)})
+
+    out = str(tmp_path / "k4.nc")
+    rc = cli.main(["keff", path, "--var", "pv", "-N", "11", "--batch", "4",
+                   "--out", out])
+    assert rc == 0
+    ds = load_dataset(out)
+    assert ds.dims_of("nkeff") == ("time", "lev", "contour")
+    assert ds["nkeff"].shape == (T, L, 11)
+    np.testing.assert_array_equal(ds["lev"], [850.0, 500.0])
+
+    out2 = str(tmp_path / "k4_sel.nc")
+    rc = cli.main(["keff", path, "--var", "pv", "-N", "11",
+                   "--isel", "lev=1", "--out", out2])
+    assert rc == 0
+    ds2 = load_dataset(out2)
+    assert ds2["nkeff"].shape == (T, 11)
+    np.testing.assert_array_equal(ds2["nkeff"], ds["nkeff"][:, 1])
+
+
+def test_cli_resume_stem(synth_nc, tmp_path, capsys):
+    """--stem writes per-chunk checkpoints; a rerun skips completed chunks
+    and reassembles the identical output file."""
+    path, q, lat, lon = synth_nc
+    stem = str(tmp_path / "ck" / "run")
+    (tmp_path / "ck").mkdir()
+    out1 = str(tmp_path / "a.nc")
+    rc = cli.main(["keff", path, "--var", "q", "-N", "11", "--batch", "2",
+                   "--stem", stem, "--out", out1])
+    assert rc == 0
+    first = capsys.readouterr().out
+
+    out2 = str(tmp_path / "b.nc")
+    rc = cli.main(["keff", path, "--var", "q", "-N", "11", "--batch", "2",
+                   "--stem", stem, "--out", out2])
+    assert rc == 0
+    second = capsys.readouterr().out
+    assert second.count("skipped") == 3  # ceil(5/2) chunks all resumed
+
+    a, b = load_dataset(out1), load_dataset(out2)
+    for k in a.variables:
+        np.testing.assert_array_equal(a[k], b[k])
+    assert first  # both runs reported
+
+
+def test_cli_fractal_and_gt_decrease_flags(tmp_path, rng):
+    Ny, Nx = 16, 32
+    lat = np.linspace(-45.0, 45.0, Ny)
+    lon = np.linspace(0.0, 348.75, Nx)
+    q = rng.standard_normal((2, Ny, Nx)).astype(np.float32)
+    path = str(tmp_path / "f.nc")
+    save_dataset_nc3(path, {"q": q},
+                     {"q": ("time", "latitude", "longitude"),
+                      "latitude": ("latitude",),
+                      "longitude": ("longitude",)},
+                     coords={"latitude": lat, "longitude": lon})
+
+    out = str(tmp_path / "frac.nc")
+    rc = cli.main(["fractal", path, "--var", "q", "-N", "11",
+                   "--strides", "1,2,4", "--decrease", "--gt",
+                   "--out", out])
+    assert rc == 0
+    ds = load_dataset(out)
+    assert ds["D"].shape == (2, 11)
+
+    grid = from_latlon(lat, lon, dim_names=("latitude", "longitude"))
+    ref = pipeline.fractal_pipeline(jnp.asarray(q), grid, N=11,
+                                    strides=(1, 2, 4), increase=False,
+                                    lt=False, box_counting=True)
+    np.testing.assert_array_equal(ds["D"], np.asarray(ref["D"]))
+
+
+def test_cli_info_and_errors(synth_nc, tmp_path, capsys):
+    path, q, lat, lon = synth_nc
+    assert cli.main(["info", path]) == 0
+    assert "q  dims=" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="not in file"):
+        cli.main(["keff", path, "--var", "nope"])
+    with pytest.raises(SystemExit, match="--isel dim"):
+        cli.main(["keff", path, "--var", "q", "--isel", "lev=0"])
+    with pytest.raises(SystemExit, match="do not divide"):
+        cli.main(["fractal", path, "--var", "q", "--strides", "7"])
+    with pytest.raises(SystemExit, match="not among outputs"):
+        cli.main(["clength", path, "--var", "q", "--fields", "bogus",
+                  "--out", str(tmp_path / "x.nc")])

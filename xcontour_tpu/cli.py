@@ -1,0 +1,296 @@
+"""Command-line batch driver: netCDF in -> jitted pipeline -> netCDF out.
+
+The reference ships its production workloads as hand-edited scripts
+(/root/reference/tests/LWA.py, test_Keff_atmos.py): a Python double loop per
+archive, no resume, outputs assembled at the end.  This module packages the
+same workloads as a deployable command:
+
+    python -m xcontour_tpu keff      input.nc --var pv -N 251 --out keff.nc
+    python -m xcontour_tpu lwa       input.nc --var pv --lwa-method auto
+    python -m xcontour_tpu keff-lwa  input.nc --var pv --interp-eq
+    python -m xcontour_tpu clength   input.nc --var tracer
+    python -m xcontour_tpu fractal   input.nc --var tracer --strides 1,2,4
+    python -m xcontour_tpu info      input.nc
+
+Design: everything between file reads is the existing jitted machinery —
+dim autodetect (the reference's name lists, utils.py:34-39), ``from_latlon``
+metrics, one compiled pipeline program reused for every fixed-size chunk
+through ``runner.run_batched`` (overlapped transfers, per-chunk retry /
+resume via ``--stem``), and coordinate-labeled output through
+``pipeline.as_dataset`` -> netCDF-3/4.  Lead dims of the input variable are
+flattened into one batch axis for streaming and restored (with their names)
+on output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from . import pipeline, runner
+from .grid import from_latlon
+from .utils.ncio import Dataset, load_dataset
+from .xcontour import _detect
+
+
+def _parse_kv(items: Optional[List[str]], what: str) -> dict:
+    out = {}
+    for item in items or []:
+        for part in item.split(","):
+            if "=" not in part:
+                raise SystemExit(f"bad {what} {part!r}: expected name=value")
+            k, v = part.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
+def _pick_var(ds: Dataset, var: Optional[str], lat_n: str, lon_n: str) -> str:
+    if var is not None:
+        if var not in ds.variables:
+            raise SystemExit(
+                f"variable {var!r} not in file; have: "
+                f"{sorted(ds.variables)}")
+        return var
+    plane = (lat_n, lon_n)
+    cands = [k for k, d in ds.dims.items()
+             if len(d) >= 2 and d[-2:] == plane and k not in (lat_n, lon_n)]
+    if len(cands) == 1:
+        return cands[0]
+    raise SystemExit(
+        f"--var required: {'no' if not cands else 'several'} variables end "
+        f"in ({lat_n}, {lon_n})" + (f": {sorted(cands)}" if cands else ""))
+
+
+def _load_field(args):
+    """Shared input stage: read, detect dims, build grid, shape the batch.
+
+    Returns (tracer (T, Ny, Nx) float np array, grid, lead dim names,
+    lead shape, lead coords dict)."""
+    ds = load_dataset(args.input)
+    dims = _parse_kv(args.dims, "--dims") or None
+    lon_n, lat_n, _ = _detect(ds, dims)
+    var = _pick_var(ds, args.var, lat_n, lon_n)
+    vdims = list(ds.dims_of(var))
+    if len(vdims) < 2 or tuple(vdims[-2:]) != (lat_n, lon_n):
+        raise SystemExit(
+            f"variable {var!r} has dims {tuple(vdims)}; the last two must "
+            f"be ({lat_n}, {lon_n})")
+    data = np.asarray(ds[var])
+
+    # integer selections on lead dims (e.g. --isel lev=3)
+    for name, idx in _parse_kv(args.isel, "--isel").items():
+        if name not in vdims[:-2]:
+            raise SystemExit(f"--isel dim {name!r} not a lead dim of "
+                             f"{var!r} {tuple(vdims)}")
+        ax = vdims.index(name)
+        data = np.take(data, int(idx), axis=ax)
+        vdims.pop(ax)
+
+    lead_names = tuple(vdims[:-2]) or ("time",)
+    lead_shape = tuple(data.shape[:-2]) or (1,)
+    lead_coords = {n: np.asarray(ds[n]) for n in vdims[:-2]
+                   if n in ds and np.asarray(ds[n]).ndim == 1
+                   and len(np.asarray(ds[n])) == data.shape[vdims.index(n)]}
+
+    dtype = np.float64 if args.f64 else np.float32
+    tracer = data.reshape((-1,) + data.shape[-2:]).astype(dtype)
+
+    lat = np.asarray(ds[lat_n], np.float64)
+    lon = np.asarray(ds[lon_n], np.float64)
+    grid = from_latlon(lat, lon, dim_names=(lat_n, lon_n),
+                       dtype=tracer.dtype)
+    return tracer, grid, lead_names, lead_shape, lead_coords
+
+
+def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
+         pre_y=None):
+    """Shared output stage: stream, unflatten lead dims, label, write."""
+    import jax.numpy as jnp
+
+    def jit_step(chunk):
+        return pipeline.flatten_output(step(jnp.asarray(chunk)))
+
+    if args.stem:
+        runner.run_batched(jit_step, tracer, batch=args.batch,
+                           out_stem=args.stem, resume=True,
+                           retries=args.retries, on_error=args.on_error)
+        out = runner.load_chunks(args.stem, allow_failed=True)
+    else:
+        out = runner.run_batched(jit_step, tracer, batch=args.batch,
+                                 retries=args.retries,
+                                 on_error=args.on_error)
+
+    out = {k: np.asarray(v).reshape(lead_shape + np.asarray(v).shape[1:])
+           for k, v in out.items()}
+    labeled = pipeline.as_dataset(out, grid, pre_y=pre_y,
+                                  batch_dims=lead_names,
+                                  extra_coords=lead_coords)
+    if args.fields:
+        # subset AFTER labeling so dim inference (contour count, plane
+        # detection) still sees the full output
+        keep = {f.strip() for item in args.fields for f in item.split(",")}
+        missing = keep - set(labeled.variables)
+        if missing:
+            raise SystemExit(f"--fields {sorted(missing)} not among outputs "
+                             f"{sorted(labeled.variables)}")
+        for name in list(labeled.variables):
+            if name not in keep:
+                del labeled.variables[name], labeled.dims[name]
+                labeled.attrs.pop(name, None)
+    path = args.out or f"{args.input.rsplit('.', 1)[0]}_{args.cmd}.nc"
+    if args.format == "nc3":
+        labeled.to_nc3(path)
+    else:
+        labeled.to_nc4(path)
+    nvar = len(labeled.variables)
+    print(f"[cli] wrote {path}: {nvar} variables, "
+          f"batch {lead_shape} x grid {grid.shape}")
+    return 0
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("input", help="input netCDF (classic or HDF5-backed)")
+    p.add_argument("--var", help="tracer variable (default: the unique "
+                   "variable on the detected (lat, lon) plane)")
+    p.add_argument("--dims", action="append", metavar="X=lon,Y=lat",
+                   help="override dim autodetect (reference utils.py:34-39)")
+    p.add_argument("--isel", action="append", metavar="dim=index",
+                   help="integer-select lead dims before processing")
+    p.add_argument("-N", "--contours", type=int, default=121, dest="N",
+                   help="number of contour levels (default 121)")
+    p.add_argument("--decrease", action="store_true",
+                   help="tracer decreases with the equivalent coordinate "
+                        "(default: increases)")
+    p.add_argument("--gt", action="store_true",
+                   help="integrate where tracer > level (default: <)")
+    p.add_argument("--batch", type=int, default=32,
+                   help="chunk size streamed per compiled step (default 32)")
+    p.add_argument("--stem", help="per-chunk .npz checkpoint stem: chunks "
+                   "are written as <stem>_ck{k}.npz and reruns resume")
+    p.add_argument("--retries", type=int, default=0,
+                   help="per-chunk retries before failing (default 0)")
+    p.add_argument("--on-error", choices=("raise", "skip"), default="raise",
+                   help="'skip' records failed chunks and NaN-fills them")
+    p.add_argument("--fields", action="append", metavar="a,b",
+                   help="write only these output variables")
+    p.add_argument("--out", help="output netCDF path "
+                   "(default <input>_<cmd>.nc)")
+    p.add_argument("--format", choices=("nc4", "nc3"), default="nc4",
+                   help="output flavor: HDF5/netCDF-4 or classic netCDF-3")
+    p.add_argument("--f64", action="store_true",
+                   help="compute in float64 (needs JAX x64 enabled)")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="xcontour_tpu",
+        description="contour-space diagnostics (Keff, LWA, lengths, fractal "
+                    "dimension) over netCDF snapshot archives")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("info", help="list variables, dims, and shapes")
+    pi.add_argument("input")
+
+    pk = sub.add_parser("keff", help="effective-diffusivity chain "
+                        "(reference tests/test_Keff_atmos.py)")
+    _add_common(pk)
+    pk.add_argument("--lmin", choices=("analytic", "dxF", "frac"),
+                    default="analytic", help="minimum-length convention")
+    pk.add_argument("--interp-eq", action="store_true",
+                    help="also interpolate outputs onto the grid's "
+                         "equivalent coordinate (the *_at variables)")
+
+    pl = sub.add_parser("lwa", help="local finite-amplitude wave activity "
+                        "(reference tests/LWA.py)")
+    _add_common(pl)
+    pl.add_argument("--part", choices=("all", "cyclone", "anticyclone"),
+                    default="all")
+    pl.add_argument("--lwa-method", choices=("auto", "lin", "dense", "fast"),
+                    default="auto", help="execution path (docs/API.md)")
+
+    pb = sub.add_parser("keff-lwa", help="combined Keff + LWA from one "
+                        "shared sorted state (the flagship fused step)")
+    _add_common(pb)
+    pb.add_argument("--lmin", choices=("analytic", "dxF", "frac"),
+                    default="analytic")
+    pb.add_argument("--lwa-method", choices=("auto", "lin", "dense", "fast"),
+                    default="auto")
+    pb.add_argument("--interp-eq", action="store_true")
+
+    pc = sub.add_parser("clength", help="contour perimeter lengths + "
+                        "Cauchy-Schwarz contour means")
+    _add_common(pc)
+
+    pf = sub.add_parser("fractal", help="fractal dimension by coarsening "
+                        "ladder (+ box counting)")
+    _add_common(pf)
+    pf.add_argument("--strides", default="1,2,4,8,16,32",
+                    help="coarsening strides; each must divide Ny and Nx")
+    pf.add_argument("--no-box-counting", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "info":
+        ds = load_dataset(args.input)
+        for name in sorted(ds.variables):
+            a = ds.variables[name]
+            print(f"{name}  dims={ds.dims_of(name)}  shape={a.shape}  "
+                  f"dtype={a.dtype}")
+        return 0
+
+    if args.f64:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    tracer, grid, lead_names, lead_shape, lead_coords = _load_field(args)
+    inc, lt = not args.decrease, not args.gt
+    pre_y = (np.asarray(grid.ydef)
+             if getattr(args, "interp_eq", False) else None)
+    pre_y_j = None if pre_y is None else jnp.asarray(pre_y, tracer.dtype)
+
+    if args.cmd == "keff":
+        def step(t):
+            return pipeline.keff_pipeline(t, grid, pre_y=pre_y_j, N=args.N,
+                                          increase=inc, lt=lt,
+                                          lmin=args.lmin)
+    elif args.cmd == "lwa":
+        def step(t):
+            return pipeline.lwa_pipeline(t, grid, N=args.N, increase=inc,
+                                         lt=lt, part=args.part,
+                                         lwa_method=args.lwa_method)
+    elif args.cmd == "keff-lwa":
+        def step(t):
+            return pipeline.keff_lwa_pipeline(t, grid, pre_y=pre_y_j,
+                                              N=args.N, increase=inc, lt=lt,
+                                              lmin=args.lmin,
+                                              lwa_method=args.lwa_method)
+    elif args.cmd == "clength":
+        def step(t):
+            return pipeline.clength_pipeline(t, grid, N=args.N,
+                                             increase=inc, lt=lt)
+    elif args.cmd == "fractal":
+        strides = tuple(int(s) for s in args.strides.split(","))
+        Ny, Nx = grid.shape
+        bad = [s for s in strides if Ny % s or Nx % s]
+        if bad:
+            raise SystemExit(f"--strides {bad} do not divide the grid "
+                             f"{(Ny, Nx)}")
+
+        def step(t):
+            return pipeline.fractal_pipeline(
+                t, grid, N=args.N, strides=strides, increase=inc, lt=lt,
+                box_counting=not args.no_box_counting)
+    else:  # pragma: no cover — argparse enforces choices
+        raise SystemExit(f"unknown command {args.cmd!r}")
+
+    return _run(args, step, grid, tracer, lead_names, lead_shape,
+                lead_coords, pre_y=pre_y)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -346,6 +346,28 @@ _ATTRS = {
 }
 
 
+def flatten_output(out: dict) -> dict:
+    """Flatten a pipeline output dict to plain name -> array.
+
+    Nested sections use the labeled-output naming convention: ``origin``
+    children keep their bare names, ``interp`` children get an ``_at``
+    suffix (the reference's interp_to_dataset variables, core.py:1017-1047),
+    any other section is prefixed.  Non-array leaves (Table pytrees) are
+    dropped.  This is the step-output shape ``runner.run_batched`` and the
+    CLI stream, and the input :func:`as_dataset` labels."""
+    flat = {}
+    for k, v in out.items():
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                name = k2 if k == "origin" else f"{k2}_at" if k == "interp" \
+                    else f"{k}_{k2}"
+                flat[name] = v2
+        else:
+            flat[k] = v
+    return {k: v for k, v in flat.items()
+            if hasattr(v, "shape") and not hasattr(v, "lookup_coordinates")}
+
+
 def as_dataset(out: dict, grid: Grid, pre_y=None,
                batch_dims: tuple = ("time",), extra_coords: dict = None,
                dim_hints: dict = None):
@@ -370,17 +392,7 @@ def as_dataset(out: dict, grid: Grid, pre_y=None,
     hints.update(dim_hints or {})
 
     # flatten the keff_pipeline origin/interp sections
-    flat = {}
-    for k, v in out.items():
-        if isinstance(v, dict):
-            for k2, v2 in v.items():
-                name = k2 if k == "origin" else f"{k2}_at" if k == "interp" \
-                    else f"{k}_{k2}"
-                flat[name] = v2
-        else:
-            flat[k] = v
-    flat = {k: v for k, v in flat.items()
-            if hasattr(v, "shape") and not hasattr(v, "lookup_coordinates")}
+    flat = flatten_output(out)
 
     N = int(flat["contour"].shape[-1]) if "contour" in flat else None
     # the 'contour' DIM is the level index (reference core.py:241-249); the

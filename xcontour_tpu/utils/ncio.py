@@ -132,7 +132,9 @@ def save_dataset(path: str, variables: Dict[str, np.ndarray], dims: Dict[str, Tu
             for axis, dname in enumerate(dims.get(vname, ())):
                 if dname in coords:
                     d.dims[axis].attach_scale(f[dname])
-                    d.dims[axis].label = dname
+                # label even scale-less dims so load_dataset recovers the
+                # name (its reader falls back to dim.label)
+                d.dims[axis].label = dname
 
 
 def save_dataset_nc3(path: str, variables: Dict[str, np.ndarray],
