@@ -70,15 +70,58 @@ def test_cli_keff_matches_pipeline(synth_nc, tmp_path, capsys):
     np.testing.assert_array_equal(ds2["nkeff"], ds["nkeff"])
 
 
-def test_cli_autodetect_var_and_default_out(synth_nc, tmp_path, monkeypatch):
+def test_cli_autodetect_var_and_default_out(synth_nc, tmp_path):
     path, q, lat, lon = synth_nc
-    # only one variable sits on the (latitude, longitude) plane -> no --var
-    rc = cli.main(["clength", path, "-N", "11",
-                   "--out", str(tmp_path / "cl.nc")])
+    # only one variable sits on the (latitude, longitude) plane -> no --var;
+    # no --out -> <input stem>_<cmd>.nc next to the input
+    rc = cli.main(["clength", path, "-N", "11"])
     assert rc == 0
-    ds = load_dataset(str(tmp_path / "cl.nc"))
+    ds = load_dataset(str(tmp_path / "synth_clength.nc"))
     assert ds["lengths"].shape == (5, 11)
     assert np.isfinite(ds["lengths"]).any()
+
+
+def test_cli_unbatched_table_not_streamed(synth_nc, tmp_path):
+    """keff's A(Yeq) table is batch-independent (built from the grid mask);
+    it must be dropped before chunk streaming, not sliced along its bin
+    axis and concatenated as if it were batched."""
+    path, q, lat, lon = synth_nc
+    out = str(tmp_path / "kt.nc")
+    # batch > Ny would previously crash the reassembly reshape; batch < T
+    # would previously produce a silently corrupted 'table' variable
+    rc = cli.main(["keff", path, "--var", "q", "-N", "11", "--batch", "2",
+                   "--out", out])
+    assert rc == 0
+    ds = load_dataset(out)
+    assert "table" not in ds.variables
+    rc = cli.main(["keff", path, "--var", "q", "-N", "11", "--batch", "32",
+                   "--out", out])
+    assert rc == 0
+
+
+def test_cli_partial_dims_override(tmp_path, rng):
+    """--dims Y=... fills only that axis; the other is still autodetected,
+    and names absent from the file error cleanly."""
+    Ny, Nx = 12, 18
+    ylat = np.linspace(-40.0, 40.0, Ny)
+    lon = np.linspace(0.0, 340.0, Nx)
+    q = rng.standard_normal((2, Ny, Nx)).astype(np.float32)
+    path = str(tmp_path / "p.nc")
+    save_dataset(path, {"q": q, "ylat": ylat, "longitude": lon},
+                 {"q": ("time", "ylat", "longitude"),
+                  "ylat": ("ylat",), "longitude": ("longitude",)},
+                 coords={"ylat": ylat, "longitude": lon})
+    out = str(tmp_path / "p_out.nc")
+    rc = cli.main(["clength", path, "--var", "q", "-N", "7",
+                   "--dims", "Y=ylat", "--out", out])
+    assert rc == 0
+    ds = load_dataset(out)
+    assert ds.dims_of("lengths") == ("time", "contour")
+
+    with pytest.raises(SystemExit, match="not in file"):
+        cli.main(["clength", path, "--var", "q", "--dims", "Y=nope"])
+    with pytest.raises(SystemExit, match="expected X=, Y= or Z="):
+        cli.main(["clength", path, "--var", "q", "--dims", "W=ylat"])
 
 
 def test_cli_lwa_nc3_roundtrip(synth_nc, tmp_path):
@@ -169,6 +212,27 @@ def test_cli_resume_stem(synth_nc, tmp_path, capsys):
         np.testing.assert_array_equal(a[k], b[k])
     assert first  # both runs reported
 
+    # changed parameters against the same stem are refused (the sidecar
+    # fingerprint pins the checkpoint set), not silently reassembled stale
+    with pytest.raises(SystemExit, match="different run"):
+        cli.main(["keff", path, "--var", "q", "-N", "21", "--batch", "2",
+                  "--stem", stem, "--out", str(tmp_path / "c.nc")])
+    with pytest.raises(SystemExit, match="different run"):
+        cli.main(["keff", path, "--var", "q", "-N", "11", "--batch", "3",
+                  "--stem", stem, "--out", str(tmp_path / "c.nc")])
+
+
+def test_runner_load_chunks_all_failed(tmp_path):
+    """load_chunks raises a clean RuntimeError (not StopIteration) when
+    every chunk failed."""
+    from xcontour_tpu import runner
+
+    stem = str(tmp_path / "af")
+    with open(stem + "_ck00000.failed", "w") as f:
+        f.write('{"chunk": 0, "nvalid": 2, "error": "boom"}')
+    with pytest.raises(RuntimeError, match="nothing to assemble"):
+        runner.load_chunks(stem, allow_failed=True)
+
 
 def test_cli_fractal_and_gt_decrease_flags(tmp_path, rng):
     Ny, Nx = 16, 32
@@ -206,6 +270,12 @@ def test_cli_info_and_errors(synth_nc, tmp_path, capsys):
         cli.main(["keff", path, "--var", "nope"])
     with pytest.raises(SystemExit, match="--isel dim"):
         cli.main(["keff", path, "--var", "q", "--isel", "lev=0"])
+    with pytest.raises(SystemExit, match="must be an integer"):
+        cli.main(["keff", path, "--var", "q", "--isel", "time=surface"])
+    with pytest.raises(SystemExit, match="out of range"):
+        cli.main(["keff", path, "--var", "q", "--isel", "time=9"])
+    with pytest.raises(SystemExit, match="--batch must be"):
+        cli.main(["keff", path, "--var", "q", "--batch", "0"])
     with pytest.raises(SystemExit, match="do not divide"):
         cli.main(["fractal", path, "--var", "q", "--strides", "7"])
     with pytest.raises(SystemExit, match="not among outputs"):

@@ -136,3 +136,24 @@ def test_pipelines_accept_precomputed_table(vorticity):
         for a, b in zip(flat_p, flat_r):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=fn.__name__)
+
+
+def test_keff_lwa_lmin_frac_matches_keff(vorticity):
+    """keff_lwa_pipeline supports all three Lmin conventions; 'frac' equals
+    keff_pipeline's (broadcast path) and unknown modes raise."""
+    from xcontour_tpu import grid as G
+    from xcontour_tpu.pipeline import keff_pipeline, keff_lwa_pipeline
+    lat, lon, vor = vorticity
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    tr = jnp.asarray(vor[None])
+
+    combined = keff_lwa_pipeline(tr, grid, N=11, increase=True, lt=True,
+                                 lmin="frac")
+    ref = keff_pipeline(tr, grid, N=11, increase=True, lt=True,
+                        hist=True, lmin="frac")
+    np.testing.assert_array_equal(np.asarray(combined["Lmin"]),
+                                  np.asarray(ref["origin"]["Lmin"]))
+
+    with pytest.raises(ValueError, match="unknown lmin"):
+        keff_lwa_pipeline(tr, grid, N=11, increase=True, lt=True,
+                          lmin="bogus")

@@ -25,6 +25,8 @@ on output.
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import sys
 from typing import List, Optional
 
@@ -33,7 +35,7 @@ import numpy as np
 from . import pipeline, runner
 from .grid import from_latlon
 from .utils.ncio import Dataset, load_dataset
-from .xcontour import _detect
+from .xcontour import dimXList, dimYList
 
 
 def _parse_kv(items: Optional[List[str]], what: str) -> dict:
@@ -45,6 +47,26 @@ def _parse_kv(items: Optional[List[str]], what: str) -> dict:
             k, v = part.split("=", 1)
             out[k.strip()] = v.strip()
     return out
+
+
+def _detect_dims(ds: Dataset, user: dict) -> tuple:
+    """Resolve (lon, lat) dim names: user overrides (validated against the
+    file) fill their axis, autodetection (the reference name lists,
+    utils.py:34-39) fills the rest."""
+    for axis, name in user.items():
+        if axis not in ("X", "Y", "Z"):
+            raise SystemExit(f"--dims axis {axis!r}: expected X=, Y= or Z=")
+        if name not in ds:
+            raise SystemExit(f"--dims {axis}={name}: {name!r} not in file; "
+                             f"have: {sorted(set(ds.variables))}")
+    names = set(ds.variables) | set(ds.coords)
+    lon_n = user.get("X") or next((d for d in dimXList if d in names), None)
+    lat_n = user.get("Y") or next((d for d in dimYList if d in names), None)
+    if lon_n is None or lat_n is None:
+        raise SystemExit(
+            "could not autodetect lat/lon dims; pass --dims X=...,Y=... "
+            f"(known names: {dimYList} / {dimXList})")
+    return lon_n, lat_n
 
 
 def _pick_var(ds: Dataset, var: Optional[str], lat_n: str, lon_n: str) -> str:
@@ -69,9 +91,10 @@ def _load_field(args):
 
     Returns (tracer (T, Ny, Nx) float np array, grid, lead dim names,
     lead shape, lead coords dict)."""
+    if args.batch < 1:
+        raise SystemExit(f"--batch must be >= 1, got {args.batch}")
     ds = load_dataset(args.input)
-    dims = _parse_kv(args.dims, "--dims") or None
-    lon_n, lat_n, _ = _detect(ds, dims)
+    lon_n, lat_n = _detect_dims(ds, _parse_kv(args.dims, "--dims"))
     var = _pick_var(ds, args.var, lat_n, lon_n)
     vdims = list(ds.dims_of(var))
     if len(vdims) < 2 or tuple(vdims[-2:]) != (lat_n, lon_n):
@@ -85,8 +108,16 @@ def _load_field(args):
         if name not in vdims[:-2]:
             raise SystemExit(f"--isel dim {name!r} not a lead dim of "
                              f"{var!r} {tuple(vdims)}")
+        try:
+            idx = int(idx)
+        except ValueError:
+            raise SystemExit(f"--isel {name}={idx}: index must be an "
+                             "integer") from None
         ax = vdims.index(name)
-        data = np.take(data, int(idx), axis=ax)
+        if not -data.shape[ax] <= idx < data.shape[ax]:
+            raise SystemExit(f"--isel {name}={idx}: out of range for size "
+                             f"{data.shape[ax]}")
+        data = np.take(data, idx, axis=ax)
         vdims.pop(ax)
 
     lead_names = tuple(vdims[:-2]) or ("time",)
@@ -105,15 +136,55 @@ def _load_field(args):
     return tracer, grid, lead_names, lead_shape, lead_coords
 
 
+def _fingerprint(args, tracer) -> dict:
+    return dict(cmd=args.cmd, input=os.path.abspath(args.input),
+                var=args.var, N=args.N, decrease=args.decrease, gt=args.gt,
+                batch=args.batch, T=int(tracer.shape[0]),
+                isel=sorted(_parse_kv(args.isel, "--isel").items()))
+
+
+def _check_stem(args, tracer) -> None:
+    """Guard --stem resume: a sidecar fingerprint pins the checkpoint set to
+    one (input, variable, parameters) combination, so a rerun with changed
+    -N/--var/--batch/... errors out instead of silently reassembling stale
+    chunks (chunk files encode none of these)."""
+    meta_path = args.stem + ".meta.json"
+    fp = _fingerprint(args, tracer)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        stale = {k for k in fp if old.get(k) != fp[k]}
+        if stale:
+            raise SystemExit(
+                f"--stem {args.stem} holds checkpoints from a different "
+                f"run (changed: {sorted(stale)}; recorded {meta_path}); "
+                "use a fresh stem or delete the old chunks")
+    else:
+        os.makedirs(os.path.dirname(meta_path) or ".", exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(fp, f)
+
+
 def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
          pre_y=None):
     """Shared output stage: stream, unflatten lead dims, label, write."""
     import jax.numpy as jnp
 
     def jit_step(chunk):
-        return pipeline.flatten_output(step(jnp.asarray(chunk)))
+        flat = pipeline.flatten_output(step(jnp.asarray(chunk)))
+        # the A(Yeq) table is built from the grid mask — batch-independent,
+        # so it must not ride the chunked batch axis (run_batched slices
+        # and concatenates axis 0 of every output)
+        flat.pop("table", None)
+        bad = [k for k, v in flat.items()
+               if v.ndim == 0 or v.shape[0] != chunk.shape[0]]
+        if bad:  # trace-time shape check — internal invariant, not user error
+            raise RuntimeError(f"pipeline outputs {bad} are not batched "
+                               "along axis 0; cannot stream them")
+        return flat
 
     if args.stem:
+        _check_stem(args, tracer)
         runner.run_batched(jit_step, tracer, batch=args.batch,
                            out_stem=args.stem, resume=True,
                            retries=args.retries, on_error=args.on_error)
@@ -140,7 +211,7 @@ def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
             if name not in keep:
                 del labeled.variables[name], labeled.dims[name]
                 labeled.attrs.pop(name, None)
-    path = args.out or f"{args.input.rsplit('.', 1)[0]}_{args.cmd}.nc"
+    path = args.out or f"{os.path.splitext(args.input)[0]}_{args.cmd}.nc"
     if args.format == "nc3":
         labeled.to_nc3(path)
     else:

@@ -196,9 +196,16 @@ def keff_lwa_pipeline(tracer: jax.Array, grid: Grid,
 
     if lmin == "analytic":
         Lmin = latitude_lengths_at(Yeq)
-    else:
+    elif lmin == "dxF":
         pre_lmin = jnp.sum(mask * grid.dxF.astype(tracer.dtype), axis=-1)
         Lmin = interp1d(Yeq, ydef, pre_lmin, increasing=ydef[-1] > ydef[0])
+    elif lmin == "frac":
+        lat_len = latitude_lengths_at(ydef)
+        frac = jnp.sum(mask, axis=-1) / mask.shape[-1]
+        Lmin = interp1d(Yeq, ydef, frac * lat_len,
+                        increasing=ydef[-1] > ydef[0])
+    else:
+        raise ValueError(f"unknown lmin mode {lmin!r}")
 
     dgrdSdA = core.cal_gradient_wrt_area(intgrdS, intArea)
     dqdA = core.cal_gradient_wrt_area(ctr, intArea)

@@ -201,7 +201,12 @@ def load_chunks(out_stem: str, allow_failed: bool = False
             chunks[rec["chunk"]] = None
             nvalid[rec["chunk"]] = rec["nvalid"]
 
-    good = next(c for c in chunks.values() if c is not None)
+    good = next((c for c in chunks.values() if c is not None), None)
+    if good is None:
+        raise RuntimeError(
+            f"all {len(markers)} chunk(s) under {out_stem} failed; nothing "
+            "to assemble — fix the step and re-run run_batched(..., "
+            "resume=True)")
     parts: Dict[str, List[np.ndarray]] = {}
     for k in sorted(chunks):
         c = chunks[k]
