@@ -222,6 +222,41 @@ def test_cli_resume_stem(synth_nc, tmp_path, capsys):
                   "--stem", stem, "--out", str(tmp_path / "c.nc")])
 
 
+def test_cli_mesh_sharded_matches_unsharded(synth_nc, tmp_path):
+    """--mesh runs each chunk GSPMD-sharded over the virtual 8-device mesh
+    (batch x spatial); results match the single-device run."""
+    path, q, lat, lon = synth_nc
+    plain = str(tmp_path / "plain.nc")
+    assert cli.main(["keff-lwa", path, "--var", "q", "-N", "21",
+                     "--batch", "4", "--f64", "--out", plain]) == 0
+
+    # contour-space outputs are reduction-order exact under every mesh; the
+    # plane LWA field has near-cancellation cells (profile terms of ~1e10
+    # summing to ~0) where a differently-fused sharded XLA program rounds
+    # differently — assert those with an atol scaled to the field magnitude
+    for spec, batch in (("8x1", "8"), ("4x2", "4"), ("2x4", "4")):
+        out = str(tmp_path / f"mesh{spec}.nc")
+        assert cli.main(["keff-lwa", path, "--var", "q", "-N", "21",
+                         "--batch", batch, "--f64", "--mesh", spec,
+                         "--out", out]) == 0
+        a, b = load_dataset(plain), load_dataset(out)
+        for k in ("nkeff", "Yeq", "Leq2", "Lmin", "Q", "intArea",
+                  "intgrdS", "levels"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-12, atol=0,
+                                       err_msg=f"{spec}:{k}")
+        scale = np.nanmax(np.abs(a["lwa"]))
+        np.testing.assert_allclose(b["lwa"], a["lwa"], rtol=1e-9,
+                                   atol=1e-9 * scale,
+                                   err_msg=f"{spec}:lwa")
+
+    with pytest.raises(SystemExit, match="devices requested"):
+        cli.main(["keff", path, "--var", "q", "--mesh", "64"])
+    with pytest.raises(SystemExit, match="not divisible by the 4-way"):
+        cli.main(["keff", path, "--var", "q", "--mesh", "8", "--batch", "3"])
+    with pytest.raises(SystemExit, match="expected a device count"):
+        cli.main(["keff", path, "--var", "q", "--mesh", "axb"])
+
+
 def test_runner_load_chunks_all_failed(tmp_path):
     """load_chunks raises a clean RuntimeError (not StopIteration) when
     every chunk failed."""

@@ -165,13 +165,54 @@ def _check_stem(args, tracer) -> None:
             json.dump(fp, f)
 
 
+def _make_sharding(args, grid, tracer):
+    """Resolve --mesh N|BxX into a NamedSharding for the streamed chunks
+    (batch over the mesh 'batch' axis, grid X over 'x'; GSPMD propagates
+    through the pure jitted pipelines — validated in tests/test_parallel.py
+    and __graft_entry__.dryrun_multichip)."""
+    if not args.mesh:
+        return None
+    import jax
+    from .parallel.mesh import make_mesh, shard_batch_spec
+
+    spec = args.mesh.lower()
+    try:
+        if "x" in spec:
+            b, x = (int(s) for s in spec.split("x"))
+            n = b * x
+        else:
+            n, x = int(spec), None
+    except ValueError:
+        raise SystemExit(f"--mesh {args.mesh!r}: expected a device count N "
+                         "or BxX (batch x spatial)") from None
+    avail = len(jax.devices())
+    if n > avail:
+        raise SystemExit(f"--mesh {args.mesh}: {n} devices requested, "
+                         f"{avail} available")
+    mesh = make_mesh(n, x_size=x)
+    bsz, xsz = mesh.devices.shape
+    if args.batch % bsz:
+        raise SystemExit(f"--mesh {args.mesh}: --batch {args.batch} not "
+                         f"divisible by the {bsz}-way batch axis")
+    if grid.shape[-1] % xsz:
+        raise SystemExit(f"--mesh {args.mesh}: grid Nx {grid.shape[-1]} not "
+                         f"divisible by the {xsz}-way spatial axis")
+    return shard_batch_spec(mesh, tracer.ndim)
+
+
 def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
          pre_y=None):
     """Shared output stage: stream, unflatten lead dims, label, write."""
+    import jax
     import jax.numpy as jnp
 
+    sharding = _make_sharding(args, grid, tracer)
+
     def jit_step(chunk):
-        flat = pipeline.flatten_output(step(jnp.asarray(chunk)))
+        chunk = jnp.asarray(chunk)
+        if sharding is not None:
+            chunk = jax.device_put(chunk, sharding)
+        flat = pipeline.flatten_output(step(chunk))
         # the A(Yeq) table is built from the grid mask — batch-independent,
         # so it must not ride the chunked batch axis (run_batched slices
         # and concatenates axis 0 of every output)
@@ -239,6 +280,11 @@ def _add_common(p: argparse.ArgumentParser):
                    help="integrate where tracer > level (default: <)")
     p.add_argument("--batch", type=int, default=32,
                    help="chunk size streamed per compiled step (default 32)")
+    p.add_argument("--mesh", metavar="N|BxX",
+                   help="shard each chunk over an N-device ('batch','x') "
+                        "jax mesh (GSPMD inserts the collectives); BxX "
+                        "pins the split, e.g. 4x2 = 4-way batch x 2-way "
+                        "spatial")
     p.add_argument("--stem", help="per-chunk .npz checkpoint stem: chunks "
                    "are written as <stem>_ck{k}.npz and reruns resume")
     p.add_argument("--retries", type=int, default=0,
