@@ -474,3 +474,44 @@ def test_adjoint_through_batched_pipeline_is_finite(rng):
     g = np.asarray(jax.grad(loss)(v))
     assert g.shape == v.shape
     assert np.isfinite(g).all()
+
+
+def test_second_order_hvp_matches_fd(rng):
+    """The full Keff+LWA chain is SECOND-order differentiable on the XLA
+    path: Hessian-vector products (both reverse-over-reverse and
+    forward-over-reverse) are finite and match finite differences of the
+    gradient.  The custom-VJP safe divisions don't block this — once the
+    inner grad expands them into their (plain-op) backward, the outer
+    transform differentiates ordinary XLA ops.  Enables Newton/Gauss-Newton
+    data assimilation on contour diagnostics, which the reference's
+    xarray/numba stack cannot express at any order."""
+    from xcontour_tpu import pipeline
+
+    Ny, Nx = 16, 24
+    lat = np.linspace(-60.0, 60.0, Ny)
+    lon = np.linspace(0.0, 345.0, Nx)
+    grid = G.from_latlon(lat, lon, dtype=jnp.float64)
+    q = jnp.asarray(np.sin(np.deg2rad(lat))[:, None]
+                    + 0.2 * rng.standard_normal((Ny, Nx)))
+
+    def loss(t):
+        o = pipeline.keff_lwa_pipeline(t[None], grid, N=9, increase=True,
+                                       lt=True)
+        nk = o["nkeff"]
+        return jnp.nansum(jnp.where(jnp.isfinite(nk), nk, 0.0)) * 1e-6
+
+    v = jnp.asarray(rng.standard_normal(q.shape))
+    hvp_rr = jax.grad(lambda x: jnp.vdot(jax.grad(loss)(x), v))(q)
+    assert np.isfinite(np.asarray(hvp_rr)).all()
+
+    eps = 1e-5
+    fd = (jax.grad(loss)(q + eps * v) - jax.grad(loss)(q - eps * v)) \
+        / (2 * eps)
+    denom = float(jnp.max(jnp.abs(fd)))
+    assert denom > 0
+    assert float(jnp.max(jnp.abs(hvp_rr - fd))) / denom < 1e-6
+
+    # forward-over-reverse agrees with reverse-over-reverse
+    _, hvp_fr = jax.jvp(jax.grad(loss), (q,), (v,))
+    np.testing.assert_allclose(np.asarray(hvp_fr), np.asarray(hvp_rr),
+                               rtol=1e-9, atol=denom * 1e-12)
