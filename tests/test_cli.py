@@ -222,6 +222,51 @@ def test_cli_resume_stem(synth_nc, tmp_path, capsys):
                   "--stem", stem, "--out", str(tmp_path / "c.nc")])
 
 
+def test_cli_scale_var_sigma_production(tmp_path, rng):
+    """--scale-var composes tracer = sigma*q before the pipeline (the
+    reference's sigma-weighted production LWA, tests/LWA.py:59-69), with
+    named-dim broadcasting; mismatched dims error cleanly."""
+    T, Ny, Nx = 3, 16, 24
+    lat = np.linspace(-45.0, 45.0, Ny)
+    lon = np.linspace(0.0, 345.0, Nx)
+    q = rng.standard_normal((T, Ny, Nx)).astype(np.float32)
+    sigma = (120.0 * (1.0 + 0.5 * np.cos(np.deg2rad(lat)) ** 2)
+             ).astype(np.float32)
+    path = str(tmp_path / "sig.nc")
+    save_dataset(path,
+                 {"q": q, "sigma": sigma, "latitude": lat, "longitude": lon},
+                 {"q": ("time", "latitude", "longitude"),
+                  "sigma": ("latitude",),
+                  "latitude": ("latitude",), "longitude": ("longitude",)},
+                 coords={"latitude": lat, "longitude": lon})
+
+    out = str(tmp_path / "sig_lwa.nc")
+    rc = cli.main(["lwa", path, "--var", "q", "--scale-var", "sigma",
+                   "-N", "11", "--out", out])
+    assert rc == 0
+    ds = load_dataset(out)
+
+    grid = from_latlon(lat, lon, dim_names=("latitude", "longitude"))
+    composed = jnp.asarray(q * sigma[None, :, None])
+    ref = pipeline.lwa_pipeline(composed, grid, N=11, increase=True, lt=True)
+    np.testing.assert_array_equal(ds["lwa"], np.asarray(ref["lwa"]))
+
+    with pytest.raises(SystemExit, match="--scale-var 'nope' not in file"):
+        cli.main(["lwa", path, "--var", "q", "--scale-var", "nope"])
+    # a scale var with a dim the tracer lacks errors cleanly
+    save_dataset(str(tmp_path / "bad.nc"),
+                 {"q": q, "w": np.ones((2, Ny), np.float32),
+                  "latitude": lat, "longitude": lon},
+                 {"q": ("time", "latitude", "longitude"),
+                  "w": ("member", "latitude"),
+                  "latitude": ("latitude",), "longitude": ("longitude",)},
+                 coords={"latitude": lat, "longitude": lon,
+                         "member": np.arange(2)})
+    with pytest.raises(SystemExit, match="are not dims of"):
+        cli.main(["lwa", str(tmp_path / "bad.nc"), "--var", "q",
+                  "--scale-var", "w"])
+
+
 def test_cli_mesh_sharded_matches_unsharded(synth_nc, tmp_path):
     """--mesh runs each chunk GSPMD-sharded over the virtual 8-device mesh
     (batch x spatial); results match the single-device run."""

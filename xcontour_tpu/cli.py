@@ -103,6 +103,26 @@ def _load_field(args):
             f"be ({lat_n}, {lon_n})")
     data = np.asarray(ds[var])
 
+    if args.scale_var:
+        sv = args.scale_var
+        if sv not in ds.variables:
+            raise SystemExit(f"--scale-var {sv!r} not in file; have: "
+                             f"{sorted(ds.variables)}")
+        sdims = list(ds.dims_of(sv))
+        extra = [d for d in sdims if d not in vdims]
+        if extra:
+            raise SystemExit(f"--scale-var {sv!r} dims {extra} are not dims "
+                             f"of {var!r} {tuple(vdims)}")
+        order = [vdims.index(d) for d in sdims]
+        if order != sorted(order):
+            raise SystemExit(f"--scale-var {sv!r} dims {tuple(sdims)} are "
+                             f"ordered differently than {var!r}'s "
+                             f"{tuple(vdims)}")
+        sarr = np.asarray(ds[sv])
+        shape = [sarr.shape[sdims.index(d)] if d in sdims else 1
+                 for d in vdims]
+        data = data * sarr.reshape(shape)
+
     # integer selections on lead dims (e.g. --isel lev=3)
     for name, idx in _parse_kv(args.isel, "--isel").items():
         if name not in vdims[:-2]:
@@ -271,6 +291,11 @@ def _add_common(p: argparse.ArgumentParser):
                    help="override dim autodetect (reference utils.py:34-39)")
     p.add_argument("--isel", action="append", metavar="dim=index",
                    help="integer-select lead dims before processing")
+    p.add_argument("--scale-var", metavar="NAME",
+                   help="multiply the tracer by this file variable "
+                        "(dims broadcast by name) before processing — e.g. "
+                        "the sigma of the reference's sigma*q production "
+                        "LWA (tests/LWA.py:59-69)")
     p.add_argument("-N", "--contours", type=int, default=121, dest="N",
                    help="number of contour levels (default 121)")
     p.add_argument("--decrease", action="store_true",
