@@ -732,6 +732,38 @@ def out_of_core_section():
     return sec
 
 
+def _init_devices(timeout_s: float):
+    """``jax.devices()`` behind a watchdog.  This image's remote TPU runtime
+    can HANG (not error) when the tunnel or the Mosaic compile service is
+    down — measured 45+ min of silence followed by UNAVAILABLE.  A hung
+    bench means the driver captures NO artifact at all, so fail fast with a
+    PARSEABLE error line instead and exit 2."""
+    import threading
+    box = {}
+
+    def probe():
+        try:
+            import jax
+            box["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in box:
+        return box["devices"]
+    err = box.get("error",
+                  f"jax device init did not complete within {timeout_s:.0f}s "
+                  "(remote TPU tunnel hang)")
+    print(json.dumps({
+        "metric": "keff+lwa snapshots/sec (256x512 global grid, N=121, f32)",
+        "value": None, "unit": "snapshots/sec", "vs_baseline": None,
+        "error": err}))
+    sys.stdout.flush()
+    os._exit(2)
+
+
 def main(argv=None):
     """Print ONE compact (< ~1.5 kB) JSON line — headline + baselines first,
     then per-kernel pct_roofline and the tall-grid crossover check — and
@@ -743,8 +775,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     default=os.environ.get("BENCH_QUICK", "") not in ("", "0"))
+    ap.add_argument("--device-timeout", type=float,
+                    default=float(os.environ.get("BENCH_DEVICE_TIMEOUT",
+                                                 "240")))
     args = ap.parse_args(argv)
 
+    _init_devices(args.device_timeout)
     lat, lon, vor = _load()
     n_cpu = int(os.environ.get("BENCH_CPU_SNAPS", "10"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
