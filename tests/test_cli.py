@@ -222,6 +222,35 @@ def test_cli_resume_stem(synth_nc, tmp_path, capsys):
                   "--stem", stem, "--out", str(tmp_path / "c.nc")])
 
 
+def test_cli_pipeline_option_flags(synth_nc, tmp_path):
+    """--no-hist, --metric dy, and --with-lwa2 reach the pipeline kwargs."""
+    path, q, lat, lon = synth_nc
+    grid = from_latlon(lat, lon, dim_names=("latitude", "longitude"))
+
+    out = str(tmp_path / "bh.nc")
+    assert cli.main(["keff", path, "--var", "q", "-N", "11", "--no-hist",
+                     "--out", out]) == 0
+    ref = pipeline.keff_pipeline(jnp.asarray(q), grid, N=11, increase=True,
+                                 lt=True, hist=False, lmin="analytic")
+    np.testing.assert_array_equal(load_dataset(out)["nkeff"],
+                                  np.asarray(ref["origin"]["nkeff"]))
+
+    out = str(tmp_path / "dy.nc")
+    assert cli.main(["lwa", path, "--var", "q", "-N", "11", "--metric", "dy",
+                     "--out", out]) == 0
+    ref = pipeline.lwa_pipeline(jnp.asarray(q), grid, N=11, increase=True,
+                                lt=True, metric="dy")
+    np.testing.assert_array_equal(load_dataset(out)["lwa"],
+                                  np.asarray(ref["lwa"]))
+
+    out = str(tmp_path / "l2.nc")
+    assert cli.main(["keff-lwa", path, "--var", "q", "-N", "11",
+                     "--with-lwa2", "--out", out]) == 0
+    ds = load_dataset(out)
+    assert "lwa2" in ds.variables
+    assert ds.dims_of("lwa2") == ("time", "latitude", "longitude")
+
+
 def test_cli_scale_var_sigma_production(tmp_path, rng):
     """--scale-var composes tracer = sigma*q before the pipeline (the
     reference's sigma-weighted production LWA, tests/LWA.py:59-69), with

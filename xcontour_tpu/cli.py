@@ -344,6 +344,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     pk.add_argument("--interp-eq", action="store_true",
                     help="also interpolate outputs onto the grid's "
                          "equivalent coordinate (the *_at variables)")
+    pk.add_argument("--no-hist", action="store_true",
+                    help="use the broadcast-comparison conditional "
+                         "integrals instead of the weighted-histogram CDF")
 
     pl = sub.add_parser("lwa", help="local finite-amplitude wave activity "
                         "(reference tests/LWA.py)")
@@ -352,6 +355,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     default="all")
     pl.add_argument("--lwa-method", choices=("auto", "lin", "dense", "fast"),
                     default="auto", help="execution path (docs/API.md)")
+    pl.add_argument("--metric", choices=("dA", "dy"), default="dA",
+                    help="'dA' = reference area weights, 'dy' = physical "
+                         "m/s column metric")
 
     pb = sub.add_parser("keff-lwa", help="combined Keff + LWA from one "
                         "shared sorted state (the flagship fused step)")
@@ -361,6 +367,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     pb.add_argument("--lwa-method", choices=("auto", "lin", "dense", "fast"),
                     default="auto")
     pb.add_argument("--interp-eq", action="store_true")
+    pb.add_argument("--with-lwa2", action="store_true",
+                    help="also compute the impulse-Casimir LWA variant")
 
     pc = sub.add_parser("clength", help="contour perimeter lengths + "
                         "Cauchy-Schwarz contour means")
@@ -399,17 +407,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         def step(t):
             return pipeline.keff_pipeline(t, grid, pre_y=pre_y_j, N=args.N,
                                           increase=inc, lt=lt,
+                                          hist=not args.no_hist,
                                           lmin=args.lmin)
     elif args.cmd == "lwa":
         def step(t):
             return pipeline.lwa_pipeline(t, grid, N=args.N, increase=inc,
                                          lt=lt, part=args.part,
+                                         metric=args.metric,
                                          lwa_method=args.lwa_method)
     elif args.cmd == "keff-lwa":
         def step(t):
             return pipeline.keff_lwa_pipeline(t, grid, pre_y=pre_y_j,
                                               N=args.N, increase=inc, lt=lt,
                                               lmin=args.lmin,
+                                              with_lwa2=args.with_lwa2,
                                               lwa_method=args.lwa_method)
     elif args.cmd == "clength":
         def step(t):
