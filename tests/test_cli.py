@@ -222,6 +222,7 @@ def test_cli_resume_stem(synth_nc, tmp_path, capsys):
                   "--stem", stem, "--out", str(tmp_path / "c.nc")])
 
 
+@pytest.mark.slow
 def test_cli_pipeline_option_flags(synth_nc, tmp_path):
     """--no-hist, --metric dy, and --with-lwa2 reach the pipeline kwargs."""
     path, q, lat, lon = synth_nc
@@ -296,6 +297,7 @@ def test_cli_scale_var_sigma_production(tmp_path, rng):
                   "--scale-var", "w"])
 
 
+@pytest.mark.slow
 def test_cli_mesh_sharded_matches_unsharded(synth_nc, tmp_path):
     """--mesh runs each chunk GSPMD-sharded over the virtual 8-device mesh
     (batch x spatial); results match the single-device run."""
@@ -343,6 +345,7 @@ def test_runner_load_chunks_all_failed(tmp_path):
         runner.load_chunks(stem, allow_failed=True)
 
 
+@pytest.mark.slow
 def test_cli_fractal_and_gt_decrease_flags(tmp_path, rng):
     Ny, Nx = 16, 32
     lat = np.linspace(-45.0, 45.0, Ny)
