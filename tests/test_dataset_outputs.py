@@ -92,6 +92,10 @@ def test_netcdf_roundtrips(case, tmp_path):
     # nc4 keeps dim labels via dimension scales
     assert b4.dims_of("lwa") == ("time", "latitude", "longitude") or \
         "latitude" in b4.dims_of("lwa")
+    # ... and round-trips variable attributes (units, long_name), like nc3
+    assert b4.attrs["lwa"]["long_name"] == ds.attrs["lwa"]["long_name"]
+    assert back.attrs["lwa"][b"long_name" if isinstance(
+        next(iter(back.attrs["lwa"]), None), bytes) else "long_name"]
 
 
 def test_pre_y_equal_to_grid_reuses_dim(case):

@@ -58,7 +58,8 @@ class Dataset:
 
     def to_nc4(self, path: str) -> None:
         """Write as HDF5/netCDF-4 with dimension scales."""
-        save_dataset(path, self.variables, self.dims, coords=self.coords)
+        save_dataset(path, self.variables, self.dims, coords=self.coords,
+                     attrs=self.attrs)
 
 
 def _load_h5(path: str) -> Dataset:
@@ -112,19 +113,25 @@ def load_dataset(path: str) -> Dataset:
 
 
 def save_dataset(path: str, variables: Dict[str, np.ndarray], dims: Dict[str, Tuple[str, ...]],
-                 coords: Dict[str, np.ndarray] | None = None) -> None:
+                 coords: Dict[str, np.ndarray] | None = None,
+                 attrs: Dict[str, dict] | None = None) -> None:
     """Write variables to an HDF5 (netCDF-4 flavoured) file.
 
     ``coords`` are 1-D coordinate variables attached as HDF5 dimension scales
-    so :func:`load_dataset` recovers dim names on read.
+    so :func:`load_dataset` recovers dim names on read.  ``attrs`` maps
+    variable names to attribute dicts (units, long_name, ...), round-tripped
+    through HDF5 attributes.
     """
     import h5py
 
     coords = coords or {}
+    attrs = attrs or {}
     with h5py.File(path, "w") as f:
         for cname, cvals in coords.items():
             d = f.create_dataset(cname, data=np.asarray(cvals))
             d.make_scale(cname)
+            for k, val in attrs.get(cname, {}).items():
+                d.attrs[k] = val
         for vname, vals in variables.items():
             if vname in coords:
                 continue
@@ -135,6 +142,8 @@ def save_dataset(path: str, variables: Dict[str, np.ndarray], dims: Dict[str, Tu
                 # label even scale-less dims so load_dataset recovers the
                 # name (its reader falls back to dim.label)
                 d.dims[axis].label = dname
+            for k, val in attrs.get(vname, {}).items():
+                d.attrs[k] = val
 
 
 def save_dataset_nc3(path: str, variables: Dict[str, np.ndarray],
