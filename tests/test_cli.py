@@ -333,6 +333,42 @@ def test_cli_mesh_sharded_matches_unsharded(synth_nc, tmp_path):
         cli.main(["keff", path, "--var", "q", "--mesh", "axb"])
 
 
+def test_cli_local_length(synth_nc, tmp_path):
+    """local-length streams the windowed kernel and labels the window-center
+    dims; values match a direct vmapped call."""
+    import jax
+    from xcontour_tpu.diagnostics.local_length import local_contour_lengths
+
+    path, q, lat, lon = synth_nc
+    out = str(tmp_path / "ll.nc")
+    rc = cli.main(["local-length", path, "--var", "q", "--window", "9",
+                   "--stride", "5", "--out", out])
+    assert rc == 0
+    ds = load_dataset(out)
+    assert ds.dims_of("llen") == ("time", "y_window", "x_window")
+
+    latf = jnp.asarray(lat, jnp.float32)
+    lonf = jnp.asarray(lon, jnp.float32)
+
+    def one(s):
+        return local_contour_lengths(s, latf, lonf,
+                                     window=9, stride=5, latlon=True)[0]
+
+    want = np.asarray(jax.vmap(one)(jnp.asarray(q, jnp.float32)))
+    np.testing.assert_allclose(ds["llen"], want, rtol=1e-6)
+    _, wy, wx = local_contour_lengths(jnp.zeros((24, 36), jnp.float32),
+                                      latf, lonf,
+                                      window=9, stride=5, latlon=True)
+    np.testing.assert_allclose(ds["y_window"], np.asarray(wy), rtol=1e-6)
+    np.testing.assert_allclose(ds["x_window"], np.asarray(wx), rtol=1e-6)
+
+    with pytest.raises(SystemExit, match="--window"):
+        cli.main(["local-length", path, "--var", "q", "--window", "99"])
+    with pytest.raises(SystemExit, match="--stride"):
+        cli.main(["local-length", path, "--var", "q", "--window", "9",
+                  "--stride", "0"])
+
+
 def test_runner_load_chunks_all_failed(tmp_path):
     """load_chunks raises a clean RuntimeError (not StopIteration) when
     every chunk failed."""

@@ -156,11 +156,20 @@ def _load_field(args):
     return tracer, grid, lead_names, lead_shape, lead_coords
 
 
+_FP_EXCLUDE = frozenset({"out", "format", "fields", "stem", "retries",
+                         "on_error"})  # output-shaping only — no effect on
+#                                        the per-chunk arrays themselves
+
+
 def _fingerprint(args, tracer) -> dict:
-    return dict(cmd=args.cmd, input=os.path.abspath(args.input),
-                var=args.var, N=args.N, decrease=args.decrease, gt=args.gt,
-                batch=args.batch, T=int(tracer.shape[0]),
-                isel=sorted(_parse_kv(args.isel, "--isel").items()))
+    """Every compute-relevant argument (N, flags, lmin, lwa-method,
+    scale-var, window, f64, ...) plus the resolved input and T; anything
+    not in _FP_EXCLUDE changing between runs must invalidate the stem."""
+    fp = {k: v for k, v in sorted(vars(args).items())
+          if k not in _FP_EXCLUDE}
+    fp["input"] = os.path.abspath(args.input)
+    fp["T"] = int(tracer.shape[0])
+    return fp
 
 
 def _check_stem(args, tracer) -> None:
@@ -221,7 +230,7 @@ def _make_sharding(args, grid, tracer):
 
 
 def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
-         pre_y=None):
+         pre_y=None, extra_coords=None, dim_hints=None):
     """Shared output stage: stream, unflatten lead dims, label, write."""
     import jax
     import jax.numpy as jnp
@@ -259,7 +268,9 @@ def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
            for k, v in out.items()}
     labeled = pipeline.as_dataset(out, grid, pre_y=pre_y,
                                   batch_dims=lead_names,
-                                  extra_coords=lead_coords)
+                                  extra_coords={**lead_coords,
+                                                **(extra_coords or {})},
+                                  dim_hints=dim_hints)
     if args.fields:
         # subset AFTER labeling so dim inference (contour count, plane
         # detection) still sees the full output
@@ -374,6 +385,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "Cauchy-Schwarz contour means")
     _add_common(pc)
 
+    pw = sub.add_parser("local-length", help="windowed local contour length "
+                        "at the window-mean level (wave-activity density "
+                        "proxy)")
+    _add_common(pw)
+    pw.add_argument("--window", type=int, default=101,
+                    help="square window size in cells (default 101)")
+    pw.add_argument("--stride", type=int, default=10,
+                    help="window stride in cells (default 10)")
+    pw.add_argument("--min-count", type=int, default=1,
+                    help="minimum finite cells for a window to count")
+
     pf = sub.add_parser("fractal", help="fractal dimension by coarsening "
                         "ladder (+ box counting)")
     _add_common(pf)
@@ -426,6 +448,37 @@ def main(argv: Optional[List[str]] = None) -> int:
         def step(t):
             return pipeline.clength_pipeline(t, grid, N=args.N,
                                              increase=inc, lt=lt)
+    elif args.cmd == "local-length":
+        import jax
+        from .diagnostics.local_length import local_contour_lengths
+
+        Ny, Nx = grid.shape
+        if not 2 <= args.window <= min(Ny, Nx):
+            raise SystemExit(f"--window {args.window} must be in "
+                             f"[2, min(Ny, Nx) = {min(Ny, Nx)}]")
+        if args.stride < 1:
+            raise SystemExit(f"--stride must be >= 1, got {args.stride}")
+
+        def one(s):
+            L, _, _ = local_contour_lengths(
+                s, grid.ydef, grid.xdef, window=args.window,
+                stride=args.stride, latlon=grid.latlon,
+                min_count=args.min_count)
+            return L
+
+        def step(t):
+            return {"llen": jax.vmap(one)(t)}
+
+        # window-center coordinates depend only on the grid + window/stride
+        _, wy, wx = local_contour_lengths(
+            jnp.zeros(grid.shape, tracer.dtype), grid.ydef, grid.xdef,
+            window=args.window, stride=args.stride, latlon=grid.latlon,
+            min_count=args.min_count)
+        return _run(args, step, grid, tracer, lead_names, lead_shape,
+                    lead_coords,
+                    extra_coords={"y_window": np.asarray(wy),
+                                  "x_window": np.asarray(wx)},
+                    dim_hints={"llen": ("y_window", "x_window")})
     elif args.cmd == "fractal":
         strides = tuple(int(s) for s in args.strides.split(","))
         Ny, Nx = grid.shape
