@@ -5,12 +5,13 @@ The reference ships its production workloads as hand-edited scripts
 archive, no resume, outputs assembled at the end.  This module packages the
 same workloads as a deployable command:
 
-    python -m xcontour_tpu keff      input.nc --var pv -N 251 --out keff.nc
-    python -m xcontour_tpu lwa       input.nc --var pv --lwa-method auto
-    python -m xcontour_tpu keff-lwa  input.nc --var pv --interp-eq
-    python -m xcontour_tpu clength   input.nc --var tracer
-    python -m xcontour_tpu fractal   input.nc --var tracer --strides 1,2,4
-    python -m xcontour_tpu info      input.nc
+    python -m xcontour_tpu keff         input.nc --var pv -N 251 --out k.nc
+    python -m xcontour_tpu lwa          input.nc --var pv --scale-var sigma
+    python -m xcontour_tpu keff-lwa     input.nc --var pv --interp-eq
+    python -m xcontour_tpu clength      input.nc --var tracer
+    python -m xcontour_tpu fractal      input.nc --var tracer --strides 1,2
+    python -m xcontour_tpu local-length input.nc --window 101 --stride 10
+    python -m xcontour_tpu info         input.nc
 
 Design: everything between file reads is the existing jitted machinery —
 dim autodetect (the reference's name lists, utils.py:34-39), ``from_latlon``
