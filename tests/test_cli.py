@@ -333,6 +333,55 @@ def test_cli_mesh_sharded_matches_unsharded(synth_nc, tmp_path):
         cli.main(["keff", path, "--var", "q", "--mesh", "axb"])
 
 
+def test_cli_ocean_mask(tmp_path, rng):
+    """--mask-from-nan / --mask-var build the grid fluid mask (the ocean
+    driver's maskC): results equal a direct pipeline call on a masked grid,
+    and differ from the unmasked run."""
+    Ny, Nx = 16, 24
+    lat = np.linspace(-45.0, 45.0, Ny)
+    lon = np.linspace(0.0, 345.0, Nx)
+    q = (np.sin(np.deg2rad(lat))[None, :, None]
+         + 0.2 * rng.standard_normal((3, Ny, Nx))).astype(np.float32)
+    land = np.zeros((Ny, Nx), bool)
+    land[5:9, 3:8] = True
+    q[:, land] = np.nan
+    maskC = (~land).astype(np.float32)
+    path = str(tmp_path / "ocean.nc")
+    save_dataset(path,
+                 {"q": q, "maskC": maskC, "latitude": lat, "longitude": lon},
+                 {"q": ("time", "latitude", "longitude"),
+                  "maskC": ("latitude", "longitude"),
+                  "latitude": ("latitude",), "longitude": ("longitude",)},
+                 coords={"latitude": lat, "longitude": lon})
+
+    out_nan = str(tmp_path / "m1.nc")
+    assert cli.main(["keff", path, "--var", "q", "-N", "11",
+                     "--mask-from-nan", "--out", out_nan]) == 0
+    out_var = str(tmp_path / "m2.nc")
+    assert cli.main(["keff", path, "--var", "q", "-N", "11",
+                     "--mask-var", "maskC", "--out", out_var]) == 0
+    out_plain = str(tmp_path / "m0.nc")
+    assert cli.main(["keff", path, "--var", "q", "-N", "11",
+                     "--out", out_plain]) == 0
+
+    a, b, p = (load_dataset(x) for x in (out_nan, out_var, out_plain))
+    np.testing.assert_array_equal(a["Yeq"], b["Yeq"])  # same mask two ways
+
+    grid = from_latlon(lat, lon, mask=maskC,
+                       dim_names=("latitude", "longitude"))
+    ref = pipeline.keff_pipeline(jnp.asarray(q), grid, N=11,
+                                 increase=True, lt=True, lmin="analytic")
+    np.testing.assert_array_equal(a["Yeq"], np.asarray(ref["origin"]["Yeq"]))
+    # the mask changes the A(Yeq) table, hence Yeq
+    assert not np.array_equal(a["Yeq"], p["Yeq"])
+
+    with pytest.raises(SystemExit, match="exclusive"):
+        cli.main(["keff", path, "--var", "q", "--mask-var", "maskC",
+                  "--mask-from-nan"])
+    with pytest.raises(SystemExit, match="--mask-var 'q' dims"):
+        cli.main(["keff", path, "--var", "q", "--mask-var", "q"])
+
+
 def test_cli_local_length(synth_nc, tmp_path):
     """local-length streams the windowed kernel and labels the window-center
     dims; values match a direct vmapped call."""

@@ -150,9 +150,25 @@ def _load_field(args):
     dtype = np.float64 if args.f64 else np.float32
     tracer = data.reshape((-1,) + data.shape[-2:]).astype(dtype)
 
+    if args.mask_var and args.mask_from_nan:
+        raise SystemExit("--mask-var and --mask-from-nan are exclusive")
+    mask = None
+    if args.mask_var:
+        mv = args.mask_var
+        if mv not in ds.variables:
+            raise SystemExit(f"--mask-var {mv!r} not in file; have: "
+                             f"{sorted(ds.variables)}")
+        m = np.asarray(ds[mv])
+        if tuple(ds.dims_of(mv)) != (lat_n, lon_n):
+            raise SystemExit(f"--mask-var {mv!r} dims {ds.dims_of(mv)} must "
+                             f"be exactly ({lat_n}, {lon_n})")
+        mask = ((m != 0) & np.isfinite(m)).astype(dtype)
+    elif args.mask_from_nan:
+        mask = np.isfinite(tracer).all(axis=0).astype(dtype)
+
     lat = np.asarray(ds[lat_n], np.float64)
     lon = np.asarray(ds[lon_n], np.float64)
-    grid = from_latlon(lat, lon, dim_names=(lat_n, lon_n),
+    grid = from_latlon(lat, lon, mask=mask, dim_names=(lat_n, lon_n),
                        dtype=tracer.dtype)
     return tracer, grid, lead_names, lead_shape, lead_coords
 
@@ -308,6 +324,13 @@ def _add_common(p: argparse.ArgumentParser):
                         "(dims broadcast by name) before processing — e.g. "
                         "the sigma of the reference's sigma*q production "
                         "LWA (tests/LWA.py:59-69)")
+    p.add_argument("--mask-var", metavar="NAME",
+                   help="fluid mask from this (lat, lon) file variable "
+                        "(nonzero = fluid), like the ocean driver's maskC "
+                        "(tests/test_Keff_ocean.py)")
+    p.add_argument("--mask-from-nan", action="store_true",
+                   help="fluid mask = cells finite in EVERY snapshot "
+                        "(topography marked by NaN)")
     p.add_argument("-N", "--contours", type=int, default=121, dest="N",
                    help="number of contour levels (default 121)")
     p.add_argument("--decrease", action="store_true",
