@@ -49,6 +49,7 @@ HBM_BW = 819e9            # bytes/s
 VPU_OPS = 3.85e12         # single (non-FMA) vector ops/s
 D2R = np.pi / 180.0
 REARTH = 6371200.0
+METRIC = "keff+lwa snapshots/sec (256x512 global grid, N=121, f32)"
 
 
 # ---------------------------------------------------------------------------
@@ -757,7 +758,7 @@ def _init_devices(timeout_s: float):
                   f"jax device init did not complete within {timeout_s:.0f}s "
                   "(remote TPU tunnel hang)")
     print(json.dumps({
-        "metric": "keff+lwa snapshots/sec (256x512 global grid, N=121, f32)",
+        "metric": METRIC,
         "value": None, "unit": "snapshots/sec", "vs_baseline": None,
         "error": err}))
     sys.stdout.flush()
@@ -848,7 +849,7 @@ def main(argv=None):
         k: {"ms": v["ms"], "pct_roofline": v["pct_roofline"]}
         for k, v in kernels.items() if k != "ceilings"}
     line = {
-        "metric": "keff+lwa snapshots/sec (256x512 global grid, N=121, f32)",
+        "metric": METRIC,
         "value": round(sps, 1),
         "unit": "snapshots/sec",
         "vs_baseline": round(sps / oracle, 2),

@@ -295,6 +295,17 @@ def test_cli_scale_var_sigma_production(tmp_path, rng):
     with pytest.raises(SystemExit, match="are not dims of"):
         cli.main(["lwa", str(tmp_path / "bad.nc"), "--var", "q",
                   "--scale-var", "w"])
+    # matching dim NAME but wrong length (e.g. edge-staggered sigma)
+    save_dataset(str(tmp_path / "edge.nc"),
+                 {"q": q, "sige": np.ones(Ny + 1, np.float32),
+                  "latitude": lat, "longitude": lon},
+                 {"q": ("time", "latitude", "longitude"),
+                  "sige": ("latitude",),
+                  "latitude": ("latitude",), "longitude": ("longitude",)},
+                 coords={"latitude": lat, "longitude": lon})
+    with pytest.raises(SystemExit, match="has length 17, but 'q' has 16"):
+        cli.main(["lwa", str(tmp_path / "edge.nc"), "--var", "q",
+                  "--scale-var", "sige"])
 
 
 @pytest.mark.slow
@@ -380,6 +391,49 @@ def test_cli_ocean_mask(tmp_path, rng):
                   "--mask-from-nan"])
     with pytest.raises(SystemExit, match="--mask-var 'q' dims"):
         cli.main(["keff", path, "--var", "q", "--mask-var", "q"])
+
+
+def test_cli_mask_reaches_geometry_kernels(tmp_path, rng):
+    """--mask-var NaNs the tracer (the reference ocean drivers'
+    tracer.where(maskC)), so the length/local-window kernels exclude land —
+    not just the A(Yeq) table."""
+    Ny, Nx = 16, 24
+    lat = np.linspace(-45.0, 45.0, Ny)
+    lon = np.linspace(0.0, 345.0, Nx)
+    # REAL values over land: without tracer masking the kernels would
+    # happily trace contours through it
+    q = (np.sin(np.deg2rad(lat))[None, :, None]
+         + 0.2 * rng.standard_normal((2, Ny, Nx))).astype(np.float32)
+    maskC = np.ones((Ny, Nx), np.float32)
+    maskC[4:10, 2:9] = 0.0
+    path = str(tmp_path / "land.nc")
+    save_dataset(path,
+                 {"q": q, "maskC": maskC, "latitude": lat, "longitude": lon},
+                 {"q": ("time", "latitude", "longitude"),
+                  "maskC": ("latitude", "longitude"),
+                  "latitude": ("latitude",), "longitude": ("longitude",)},
+                 coords={"latitude": lat, "longitude": lon})
+
+    out_m = str(tmp_path / "cm.nc")
+    assert cli.main(["clength", path, "--var", "q", "-N", "9",
+                     "--mask-var", "maskC", "--out", out_m]) == 0
+    out_p = str(tmp_path / "cp.nc")
+    assert cli.main(["clength", path, "--var", "q", "-N", "9",
+                     "--out", out_p]) == 0
+    Lm = load_dataset(out_m)["lengths"]
+    Lp = load_dataset(out_p)["lengths"]
+    fin = np.isfinite(Lm) & np.isfinite(Lp)
+    assert fin.any()
+    assert not np.allclose(Lm[fin], Lp[fin])  # land contours excluded
+    assert (Lm[fin] <= Lp[fin] + 1e-3).all()  # masking can only remove length
+
+    # parity with a direct pipeline call on the NaN-masked tracer
+    grid = from_latlon(lat, lon, mask=maskC,
+                       dim_names=("latitude", "longitude"))
+    qn = np.where(maskC[None] != 0, q, np.nan)
+    ref = pipeline.clength_pipeline(jnp.asarray(qn), grid, N=9,
+                                    increase=True, lt=True)
+    np.testing.assert_array_equal(Lm, np.asarray(ref["lengths"]))
 
 
 def test_cli_local_length(synth_nc, tmp_path):

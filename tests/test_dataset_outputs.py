@@ -94,8 +94,10 @@ def test_netcdf_roundtrips(case, tmp_path):
         "latitude" in b4.dims_of("lwa")
     # ... and round-trips variable attributes (units, long_name), like nc3
     assert b4.attrs["lwa"]["long_name"] == ds.attrs["lwa"]["long_name"]
-    assert back.attrs["lwa"][b"long_name" if isinstance(
-        next(iter(back.attrs["lwa"]), None), bytes) else "long_name"]
+    got3 = back.attrs["lwa"]["long_name"]
+    if isinstance(got3, bytes):
+        got3 = got3.decode()
+    assert got3 == ds.attrs["lwa"]["long_name"]
 
 
 def test_pre_y_equal_to_grid_reuses_dim(case):

@@ -120,6 +120,11 @@ def _load_field(args):
                              f"ordered differently than {var!r}'s "
                              f"{tuple(vdims)}")
         sarr = np.asarray(ds[sv])
+        for d in sdims:
+            want, got = data.shape[vdims.index(d)], sarr.shape[sdims.index(d)]
+            if want != got:
+                raise SystemExit(f"--scale-var {sv!r}: dim {d!r} has length "
+                                 f"{got}, but {var!r} has {want}")
         shape = [sarr.shape[sdims.index(d)] if d in sdims else 1
                  for d in vdims]
         data = data * sarr.reshape(shape)
@@ -165,6 +170,12 @@ def _load_field(args):
         mask = ((m != 0) & np.isfinite(m)).astype(dtype)
     elif args.mask_from_nan:
         mask = np.isfinite(tracer).all(axis=0).astype(dtype)
+    if mask is not None:
+        # the reference's ocean drivers mask the TRACER too
+        # (tracer.where(maskC), tests/test_Keff_ocean.py) — NaN cells are
+        # what the length/LWA/local-window kernels exclude; the grid mask
+        # alone only reaches the A(Yeq) table and numeric Lmin
+        tracer = np.where(mask[None] != 0, tracer, np.nan)
 
     lat = np.asarray(ds[lat_n], np.float64)
     lon = np.asarray(ds[lon_n], np.float64)
@@ -184,6 +195,10 @@ def _fingerprint(args, tracer) -> dict:
     not in _FP_EXCLUDE changing between runs must invalidate the stem."""
     fp = {k: v for k, v in sorted(vars(args).items())
           if k not in _FP_EXCLUDE}
+    # canonicalize the repeatable kv options so respelling/reordering an
+    # identical selection still resumes
+    fp["isel"] = sorted(_parse_kv(args.isel, "--isel").items())
+    fp["dims"] = sorted(_parse_kv(args.dims, "--dims").items())
     fp["input"] = os.path.abspath(args.input)
     fp["T"] = int(tracer.shape[0])
     return fp
@@ -231,6 +246,8 @@ def _make_sharding(args, grid, tracer):
     except ValueError:
         raise SystemExit(f"--mesh {args.mesh!r}: expected a device count N "
                          "or BxX (batch x spatial)") from None
+    if n < 1 or (x is not None and x < 1):
+        raise SystemExit(f"--mesh {args.mesh!r}: counts must be >= 1")
     avail = len(jax.devices())
     if n > avail:
         raise SystemExit(f"--mesh {args.mesh}: {n} devices requested, "
@@ -249,15 +266,11 @@ def _make_sharding(args, grid, tracer):
 def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
          pre_y=None, extra_coords=None, dim_hints=None):
     """Shared output stage: stream, unflatten lead dims, label, write."""
-    import jax
     import jax.numpy as jnp
 
     sharding = _make_sharding(args, grid, tracer)
 
     def jit_step(chunk):
-        chunk = jnp.asarray(chunk)
-        if sharding is not None:
-            chunk = jax.device_put(chunk, sharding)
         flat = pipeline.flatten_output(step(chunk))
         # the A(Yeq) table is built from the grid mask — batch-independent,
         # so it must not ride the chunked batch axis (run_batched slices
@@ -274,12 +287,14 @@ def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
         _check_stem(args, tracer)
         runner.run_batched(jit_step, tracer, batch=args.batch,
                            out_stem=args.stem, resume=True,
-                           retries=args.retries, on_error=args.on_error)
+                           retries=args.retries, on_error=args.on_error,
+                           sharding=sharding)
         out = runner.load_chunks(args.stem, allow_failed=True)
     else:
         out = runner.run_batched(jit_step, tracer, batch=args.batch,
                                  retries=args.retries,
-                                 on_error=args.on_error)
+                                 on_error=args.on_error,
+                                 sharding=sharding)
 
     out = {k: np.asarray(v).reshape(lead_shape + np.asarray(v).shape[1:])
            for k, v in out.items()}
@@ -311,7 +326,7 @@ def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
     return 0
 
 
-def _add_common(p: argparse.ArgumentParser):
+def _add_common(p: argparse.ArgumentParser, contours: bool = True):
     p.add_argument("input", help="input netCDF (classic or HDF5-backed)")
     p.add_argument("--var", help="tracer variable (default: the unique "
                    "variable on the detected (lat, lon) plane)")
@@ -331,13 +346,14 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--mask-from-nan", action="store_true",
                    help="fluid mask = cells finite in EVERY snapshot "
                         "(topography marked by NaN)")
-    p.add_argument("-N", "--contours", type=int, default=121, dest="N",
-                   help="number of contour levels (default 121)")
-    p.add_argument("--decrease", action="store_true",
-                   help="tracer decreases with the equivalent coordinate "
-                        "(default: increases)")
-    p.add_argument("--gt", action="store_true",
-                   help="integrate where tracer > level (default: <)")
+    if contours:
+        p.add_argument("-N", "--contours", type=int, default=121, dest="N",
+                       help="number of contour levels (default 121)")
+        p.add_argument("--decrease", action="store_true",
+                       help="tracer decreases with the equivalent "
+                            "coordinate (default: increases)")
+        p.add_argument("--gt", action="store_true",
+                       help="integrate where tracer > level (default: <)")
     p.add_argument("--batch", type=int, default=32,
                    help="chunk size streamed per compiled step (default 32)")
     p.add_argument("--mesh", metavar="N|BxX",
@@ -404,6 +420,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     pb.add_argument("--interp-eq", action="store_true")
     pb.add_argument("--with-lwa2", action="store_true",
                     help="also compute the impulse-Casimir LWA variant")
+    pb.add_argument("--metric", choices=("dA", "dy"), default="dA",
+                    help="'dA' = reference area weights, 'dy' = physical "
+                         "m/s column metric")
 
     pc = sub.add_parser("clength", help="contour perimeter lengths + "
                         "Cauchy-Schwarz contour means")
@@ -412,7 +431,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     pw = sub.add_parser("local-length", help="windowed local contour length "
                         "at the window-mean level (wave-activity density "
                         "proxy)")
-    _add_common(pw)
+    _add_common(pw, contours=False)  # window-mean levels — no -N/flags
     pw.add_argument("--window", type=int, default=101,
                     help="square window size in cells (default 101)")
     pw.add_argument("--stride", type=int, default=10,
@@ -444,7 +463,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax.numpy as jnp
 
     tracer, grid, lead_names, lead_shape, lead_coords = _load_field(args)
-    inc, lt = not args.decrease, not args.gt
+    inc = not getattr(args, "decrease", False)
+    lt = not getattr(args, "gt", False)
     pre_y = (np.asarray(grid.ydef)
              if getattr(args, "interp_eq", False) else None)
     pre_y_j = None if pre_y is None else jnp.asarray(pre_y, tracer.dtype)
@@ -467,6 +487,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                                               N=args.N, increase=inc, lt=lt,
                                               lmin=args.lmin,
                                               with_lwa2=args.with_lwa2,
+                                              metric=args.metric,
                                               lwa_method=args.lwa_method)
     elif args.cmd == "clength":
         def step(t):
@@ -493,11 +514,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         def step(t):
             return {"llen": jax.vmap(one)(t)}
 
-        # window-center coordinates depend only on the grid + window/stride
-        _, wy, wx = local_contour_lengths(
-            jnp.zeros(grid.shape, tracer.dtype), grid.ydef, grid.xdef,
-            window=args.window, stride=args.stride, latlon=grid.latlon,
-            min_count=args.min_count)
+        # window-center coordinates depend only on grid + window/stride
+        # (the kernel's own _window_centers formula — no probe run needed)
+        from .diagnostics.local_length import _window_centers
+        oy = np.arange(0, Ny - args.window + 1, args.stride)
+        ox = np.arange(0, Nx - args.window + 1, args.stride)
+        wy, wx = _window_centers(np.asarray(grid.ydef), np.asarray(grid.xdef),
+                                 oy, ox, args.window)
         return _run(args, step, grid, tracer, lead_names, lead_shape,
                     lead_coords,
                     extra_coords={"y_window": np.asarray(wy),

@@ -44,7 +44,7 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
                 retries: int = 0, on_error: str = "raise",
                 retry_wait: float = 0.25,
                 validate: Optional[Callable[[Dict[str, np.ndarray]], None]]
-                = None) -> Optional[Dict[str, np.ndarray]]:
+                = None, sharding=None) -> Optional[Dict[str, np.ndarray]]:
     """Run ``step`` over ``snapshots`` (T, Ny, Nx) in fixed-size batches.
 
     With ``out_stem`` set, results are written per chunk and already-written
@@ -54,6 +54,11 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
     ``snapshots`` may be any sliceable (T, ...) source — an ndarray, a
     ``np.memmap``, or an object with ``shape`` and ``__getitem__`` (lazy
     loaders), so archives larger than host or device memory stream through.
+
+    ``sharding`` (an optional ``jax.sharding.Sharding``) places each chunk
+    directly onto a device mesh in the SAME overlapped ``device_put`` —
+    one host->shards transfer per chunk, never a second resharding copy on
+    the compute path.
 
     Failure handling: each chunk is attempted ``retries + 1`` times (with
     ``retry_wait * 2**attempt`` backoff).  ``validate(out_np)`` runs after
@@ -78,7 +83,7 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
         if hi - lo < batch:  # pad the tail so the compiled shape is reused
             pad = np.repeat(arr[-1:], batch - (hi - lo), axis=0)
             arr = np.concatenate([arr, pad], axis=0)
-        return jax.device_put(jnp.asarray(arr)), hi - lo
+        return jax.device_put(jnp.asarray(arr), sharding), hi - lo
 
     def attempt(dev, nvalid):
         out = step(dev)
