@@ -472,6 +472,37 @@ def test_cli_local_length(synth_nc, tmp_path):
                   "--stride", "0"])
 
 
+def test_cli_validate_finite(tmp_path, rng, capsys):
+    """--validate finite rejects chunks whose outputs are entirely
+    non-finite; with --on-error skip the archive completes NaN-filled."""
+    Ny, Nx = 12, 18
+    lat = np.linspace(-40.0, 40.0, Ny)
+    lon = np.linspace(0.0, 340.0, Nx)
+    q = rng.standard_normal((4, Ny, Nx)).astype(np.float32)
+    q[2] = np.nan  # one poisoned snapshot -> its chunk fails validation
+    path = str(tmp_path / "v.nc")
+    save_dataset(path, {"q": q, "latitude": lat, "longitude": lon},
+                 {"q": ("time", "latitude", "longitude"),
+                  "latitude": ("latitude",), "longitude": ("longitude",)},
+                 coords={"latitude": lat, "longitude": lon})
+
+    out = str(tmp_path / "v_out.nc")
+    rc = cli.main(["clength", path, "--var", "q", "-N", "7", "--batch", "1",
+                   "--validate", "finite", "--on-error", "skip",
+                   "--out", out])
+    assert rc == 0
+    assert "FAILED" in capsys.readouterr().out
+    ds = load_dataset(out)
+    L = ds["lengths"]
+    assert not np.isfinite(L[2]).any()      # NaN-filled failed chunk
+    assert np.isfinite(L[[0, 1, 3]]).any()  # healthy chunks intact
+
+    with pytest.raises(ValueError, match="entirely non-finite"):
+        cli.main(["clength", path, "--var", "q", "-N", "7", "--batch", "1",
+                  "--validate", "finite", "--out",
+                  str(tmp_path / "x.nc")])
+
+
 def test_runner_load_chunks_all_failed(tmp_path):
     """load_chunks raises a clean RuntimeError (not StopIteration) when
     every chunk failed."""

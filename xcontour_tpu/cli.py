@@ -283,18 +283,26 @@ def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
                                "along axis 0; cannot stream them")
         return flat
 
+    validate = None
+    if args.validate == "finite":
+        def validate(out_np):
+            dead = [k for k, v in out_np.items()
+                    if v.size and not np.isfinite(v).any()]
+            if dead:
+                raise ValueError(f"chunk outputs {dead} entirely non-finite")
+
     if args.stem:
         _check_stem(args, tracer)
         runner.run_batched(jit_step, tracer, batch=args.batch,
                            out_stem=args.stem, resume=True,
                            retries=args.retries, on_error=args.on_error,
-                           sharding=sharding)
+                           sharding=sharding, validate=validate)
         out = runner.load_chunks(args.stem, allow_failed=True)
     else:
         out = runner.run_batched(jit_step, tracer, batch=args.batch,
                                  retries=args.retries,
                                  on_error=args.on_error,
-                                 sharding=sharding)
+                                 sharding=sharding, validate=validate)
 
     out = {k: np.asarray(v).reshape(lead_shape + np.asarray(v).shape[1:])
            for k, v in out.items()}
@@ -367,6 +375,10 @@ def _add_common(p: argparse.ArgumentParser, contours: bool = True):
                    help="per-chunk retries before failing (default 0)")
     p.add_argument("--on-error", choices=("raise", "skip"), default="raise",
                    help="'skip' records failed chunks and NaN-fills them")
+    p.add_argument("--validate", choices=("none", "finite"), default="none",
+                   help="'finite' rejects a chunk when any output variable "
+                        "is entirely non-finite (triggers --retries, then "
+                        "--on-error)")
     p.add_argument("--fields", action="append", metavar="a,b",
                    help="write only these output variables")
     p.add_argument("--out", help="output netCDF path "
