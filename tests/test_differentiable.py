@@ -135,13 +135,22 @@ def test_part_selection_gradients_finite_and_match_fd(rng, part, variant2):
     assert np.abs(g).max() > 0
 
     scale = np.abs(g).max()
+    f0 = float(loss(q))
     checked = 0
-    for b, y, x in [(1, 5, 7), (1, 8, 11), (0, 6, 2), (0, 9, 13)]:
+    for b, y, x in [(1, 5, 7), (1, 8, 11), (0, 6, 2), (0, 9, 13),
+                    (1, 4, 3), (0, 7, 9)]:
         if abs(g[b, y, x]) < 1e-3 * scale:
             continue
         eps = 1e-6
-        fd = (float(loss(q.at[b, y, x].add(eps)))
-              - float(loss(q.at[b, y, x].add(-eps)))) / (2 * eps)
+        fp = float(loss(q.at[b, y, x].add(eps)))
+        fm = float(loss(q.at[b, y, x].add(-eps)))
+        # the part-selected LWA is piecewise smooth in q: a probe cell within
+        # eps of a qe==0 kink makes the central difference misreport the
+        # (valid) subgradient — detect via one-sided asymmetry and skip
+        dp, dm = (fp - f0) / eps, (f0 - fm) / eps
+        if abs(dp - dm) > 0.02 * (abs(dp) + abs(dm) + 1e-30):
+            continue
+        fd = (fp - fm) / (2 * eps)
         rel = abs(fd - g[b, y, x]) / (abs(fd) + abs(g[b, y, x]))
         assert rel < 5e-3, (b, y, x, fd, g[b, y, x])
         checked += 1

@@ -185,3 +185,20 @@ def test_contour2d_check_mono_unified():
     c2 = Contour2D.from_arrays(flat, dA, ydef, increase=True, lt=True,
                                check_mono=False, dtype=jnp.float64)
     c2.cal_integral_within_contours(ctr)  # silent
+
+
+def test_load_chunks_detects_index_gap(tmp_path, rng):
+    snaps = rng.normal(size=(10, 8, 16))
+    stem = str(tmp_path / "gap")
+    run_batched(jax.jit(_step), snaps, batch=4, out_stem=stem,
+                log=lambda s: None)
+    # a deleted middle chunk with no .failed marker must not silently
+    # misalign the reassembled time axis
+    os.remove(stem + "_ck00001.npz")
+    with pytest.raises(RuntimeError, match="gap"):
+        load_chunks(stem)
+    run_batched(jax.jit(_step), snaps, batch=4, out_stem=stem,
+                log=lambda s: None)  # resume regenerates the hole
+    out = load_chunks(stem)
+    np.testing.assert_allclose(out["mean"], snaps.mean(axis=(1, 2)),
+                               rtol=1e-6)

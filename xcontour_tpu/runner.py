@@ -212,6 +212,14 @@ def load_chunks(out_stem: str, allow_failed: bool = False
             f"all {len(markers)} chunk(s) under {out_stem} failed; nothing "
             "to assemble — fix the step and re-run run_batched(..., "
             "resume=True)")
+    # a hole in the index sequence (e.g. a manually deleted chunk file with
+    # no .failed marker) would silently misalign the reassembled time axis
+    missing = sorted(set(range(max(chunks) + 1)) - set(chunks))
+    if missing:
+        raise RuntimeError(
+            f"chunk index gap under {out_stem}: missing {missing} of "
+            f"0..{max(chunks)}; re-run run_batched(..., resume=True) to "
+            "regenerate them")
     parts: Dict[str, List[np.ndarray]] = {}
     for k in sorted(chunks):
         c = chunks[k]
