@@ -273,3 +273,64 @@ class TestMITgcmCompletion:
         metrics, grid = add_MITgcm_missing_metrics(v, dtype=jnp.float64)
         np.testing.assert_allclose(metrics["yA"], v["yA"], rtol=1e-6)
         assert grid.dim_names == ("Z", "XC")
+
+
+class TestMITgcmFacadeFallbacks:
+    """The facade's fallback ladder (reference utils.py:418-488): minimal
+    datasets still produce a working plane grid, missing requirements fail
+    loudly."""
+
+    def test_missing_plane_coords_raises(self):
+        from xcontour_tpu.xcontour import add_MITgcm_missing_metrics
+        with pytest.raises(ValueError, match="Z\\+XC or YC\\+XC"):
+            add_MITgcm_missing_metrics({"XC": np.arange(4) + 0.5})
+
+    def test_horizontal_missing_rA_raises(self):
+        from xcontour_tpu.xcontour import add_MITgcm_missing_metrics
+        ds = {"YC": np.arange(6) + 0.5, "XC": np.arange(8) + 0.5}
+        with pytest.raises(ValueError, match="rA"):
+            add_MITgcm_missing_metrics(ds)
+
+    def test_horizontal_3d_maskC_takes_surface_level(self):
+        from xcontour_tpu.xcontour import add_MITgcm_missing_metrics
+        ny, nx = 6, 8
+        maskC = np.ones((3, ny, nx))
+        maskC[0, 2, 3] = 0.0        # surface hole
+        maskC[1] = 0.0              # deeper levels must be ignored
+        ds = {"YC": np.arange(ny) + 0.5, "XC": np.arange(nx) + 0.5,
+              "rA": np.full((ny, nx), 4.0),
+              "dxF": np.full((ny, nx), 2.0), "dyF": np.full((ny, nx), 2.0),
+              "maskC": maskC}
+        metrics, grid = add_MITgcm_missing_metrics(ds, dtype=jnp.float64)
+        m = np.asarray(grid.mask)
+        assert m[2, 3] == 0.0 and m.sum() == ny * nx - 1
+
+    def test_vertical_minimal_dset_fallbacks(self):
+        """Z+XC with only drF and a 1-D dxC: dxF falls back to dxC,
+        broadcasts over Z, hFacC defaults to full cells, drC and yA are
+        derived."""
+        from xcontour_tpu.xcontour import add_MITgcm_missing_metrics
+        nz, nx = 5, 12
+        ds = {"Z": -(np.arange(nz) + 0.5), "XC": np.arange(nx) + 0.5,
+              "drF": np.full(nz, 2.0), "dxC": np.full(nx, 3.0)}
+        metrics, grid = add_MITgcm_missing_metrics(ds, periodic=None,
+                                                   dtype=jnp.float64)
+        assert grid.dim_names == ("Z", "XC") and grid.shape == (nz, nx)
+        np.testing.assert_allclose(metrics["yA"], np.full((nz, nx), 6.0))
+        np.testing.assert_allclose(np.asarray(grid.dA),
+                                   np.full((nz, nx), 6.0))
+        np.testing.assert_allclose(metrics["drC"], np.full((nz, nx), 2.0))
+
+    def test_vertical_maskC_as_hfac(self):
+        """hFacC absent but maskC present: the mask stands in for the
+        partial-cell fraction (binary cells)."""
+        from xcontour_tpu.xcontour import add_MITgcm_missing_metrics
+        nz, nx = 4, 10
+        maskC = np.ones((nz, nx))
+        maskC[2:, :3] = 0.0
+        ds = {"Z": -(np.arange(nz) + 0.5), "XC": np.arange(nx) + 0.5,
+              "drF": np.full(nz, 1.5), "dxF": np.full((nz, nx), 2.0),
+              "maskC": maskC}
+        metrics, grid = add_MITgcm_missing_metrics(ds, dtype=jnp.float64)
+        np.testing.assert_allclose(metrics["yA"], 3.0 * maskC)
+        np.testing.assert_allclose(np.asarray(grid.mask), maskC)

@@ -290,3 +290,136 @@ def test_length_kernel_level_order_invariance(rng):
         interpret=True))[0]
     np.testing.assert_array_equal(down, ref[::-1])
     np.testing.assert_array_equal(shuf, ref[perm])
+
+
+@pytest.mark.parametrize("variant2", [False, True])
+@pytest.mark.parametrize("increase", [True, False])
+def test_lwa_linearized_kernel_matches_oracle(rng, variant2, increase):
+    """The opt-in linearized kernels (pairwise=False — what method='lin'
+    runs on TPU) reproduce the pairwise oracle for BOTH variants: NaN
+    tracer cells zero their output cell, NaN profile rows integrate to
+    zero, and the fused in-kernel E prefix matches the reference summation
+    (in f64 the R/E cancellation noise is ~1e-12)."""
+    B, Ny, Nx = 2, 24, 16
+    ydef = np.linspace(-60, 60, Ny) if increase else -np.linspace(5, 120, Ny)
+    q = np.cumsum(rng.normal(size=(B, Ny, Nx)), axis=1)
+    q[0, 3, 4] = np.nan
+    dA = rng.uniform(0.5, 2.0, size=(Ny, Nx))
+    Q = np.sort(rng.normal(size=(B, Ny)), axis=-1)
+    Q[1, 5] = np.nan                      # invalid profile row
+    W = dA / dA.max() * dA
+
+    fn = compat.local_wave_activity2 if variant2 else compat.local_wave_activity
+    want = np.stack([fn(q[b], Q[b], dA, ydef, increase, "all")
+                     for b in range(B)])
+    want = np.where(np.isnan(want), 0.0, want)
+    got = lwa_pallas(jnp.asarray(q), jnp.asarray(Q), jnp.asarray(W),
+                     increase=increase, part="all", variant2=variant2,
+                     interpret=True, pairwise=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("variant2", [False, True])
+def test_lwa_linearized_kernel_x_blocking(rng, variant2):
+    """The linearized kernels' NaN/zero x-padding panels contribute nothing
+    (pad cells are NaN in q and 0 in W)."""
+    import importlib
+    lk = importlib.import_module("xcontour_tpu.kernels.lwa_pallas")
+    B, Ny, Nx = 1, 16, 200
+    ydef = np.linspace(-60, 60, Ny)
+    q = np.cumsum(rng.normal(size=(B, Ny, Nx)), axis=1)
+    dA = rng.uniform(0.5, 2.0, size=(Ny, Nx))
+    Q = np.sort(rng.normal(size=(B, Ny)), axis=-1)
+    W = dA / dA.max() * dA
+    fn = compat.local_wave_activity2 if variant2 else compat.local_wave_activity
+    want = fn(q[0], Q[0], dA, ydef, True, "all")
+    orig = lk._VMEM_BUDGET
+    lk._VMEM_BUDGET = 16 * 128 * 8 * 4  # tiny: forces nxb=128 panels w/ pad
+    try:
+        got = lwa_pallas(jnp.asarray(q), jnp.asarray(Q), jnp.asarray(W),
+                         increase=True, part="all", variant2=variant2,
+                         interpret=True, pairwise=False)
+    finally:
+        lk._VMEM_BUDGET = orig
+    np.testing.assert_allclose(np.asarray(got[0]), want, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("lt", [True, False])
+@pytest.mark.parametrize("decreasing", [False, True])
+def test_weighted_cdf_multi_pallas_branch(rng, lt, decreasing):
+    """weighted_cdf_multi's shared-digitize Pallas route == the per-channel
+    XLA loop, including the descending-bin reversal and the lt=False
+    total-minus-CDF flip."""
+    from xcontour_tpu import config
+    from xcontour_tpu.ops.histogram import weighted_cdf_multi
+    import xcontour_tpu.kernels.hist_pallas as hk
+
+    v = rng.normal(size=(3, 10, 12))
+    ws = [rng.uniform(0.5, 2.0, size=(10, 12)),
+          rng.uniform(0.0, 1.0, size=(3, 10, 12))]
+    bins = np.linspace(v.min(), v.max(), 9)
+    if decreasing:
+        bins = bins[::-1].copy()
+    vj = jnp.asarray(v)
+    bj = jnp.asarray(bins)
+    wj = [jnp.asarray(w) for w in ws]
+    want = weighted_cdf_multi(vj, bj, wj, lt)          # pallas off: XLA loop
+
+    orig = hk.histogram_pallas_multi
+    hk.histogram_pallas_multi = lambda *a, **k: orig(*a, interpret=True, **k)
+    config.set_use_pallas(True)
+    try:
+        got = weighted_cdf_multi(vj, bj, wj, lt)
+    finally:
+        config.set_use_pallas(None)
+        hk.histogram_pallas_multi = orig
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_stencil_pallas_ad_path(rng):
+    """squared_gradient's Pallas route carries the XLA twin's VJP: value
+    matches the XLA form and jax.grad through it equals the XLA gradient
+    exactly (the custom VJP calls the twin)."""
+    import jax
+    from xcontour_tpu import config
+    from xcontour_tpu import grid as G
+    import xcontour_tpu.kernels.stencil_pallas as sp
+    from xcontour_tpu.ops import stencil as st
+
+    Ny, Nx = 16, 24
+    grid = G.from_latlon(np.linspace(-75, 75, Ny),
+                         np.arange(Nx) * (360.0 / Nx), dtype=jnp.float64)
+    q = jnp.asarray(rng.normal(size=(2, Ny, Nx)))
+    dy, dx = st._spacing(grid, q.dtype)
+
+    def loss_xla(t):
+        return jnp.sum(st._squared_gradient_xla(
+            t, dy, dx, periodic_x=grid.periodic_x, bc_y=grid.bc_y) ** 2)
+
+    want_v = st._squared_gradient_xla(q, dy, dx, periodic_x=grid.periodic_x,
+                                      bc_y=grid.bc_y)
+    want_g = jax.grad(loss_xla)(q)
+
+    orig = sp.squared_gradient_pallas
+    sp.squared_gradient_pallas = lambda *a, **k: orig(*a, interpret=True, **k)
+    config.set_use_pallas(True)
+    try:
+        assert sp.pallas_ok(q)
+        got_v = st.squared_gradient(q, grid)
+
+        def loss_p(t):
+            return jnp.sum(st.squared_gradient(t, grid) ** 2)
+
+        got_g = jax.grad(loss_p)(q)
+    finally:
+        config.set_use_pallas(None)
+        sp.squared_gradient_pallas = orig
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-12, atol=1e-15)
+    # the cotangent 2*out is built from the (last-ulp different) Pallas
+    # forward value, so the grads agree to rounding, not bit-for-bit
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=1e-10, atol=1e-30)

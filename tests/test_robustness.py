@@ -72,3 +72,31 @@ def test_tiny_contour_counts(rng):
     out = np.asarray(core.cal_integral_within_contours_hist(
         jnp.asarray(v), ctr, jnp.asarray(dA), lt=True))
     np.testing.assert_allclose(out[-1], 144.0, rtol=1e-12)
+
+
+def test_config_env_and_override_paths(monkeypatch):
+    """set_use_pallas/set_lwa_fast overrides and the env-var parsing
+    (XCONTOUR_USE_PALLAS / XCONTOUR_LWA_FAST accept 0/false/False)."""
+    from xcontour_tpu import config
+
+    monkeypatch.setenv("XCONTOUR_USE_PALLAS", "0")
+    assert config.use_pallas() is False
+    monkeypatch.setenv("XCONTOUR_USE_PALLAS", "1")
+    assert config.use_pallas() is True
+    monkeypatch.delenv("XCONTOUR_USE_PALLAS")
+
+    old = config.lwa_fast()
+    try:
+        config.set_lwa_fast(False)
+        assert config.lwa_fast() is False
+        config.set_lwa_fast(True)
+        assert config.lwa_fast() is True
+        config.set_lwa_fast(None)
+        monkeypatch.setenv("XCONTOUR_LWA_FAST", "false")
+        assert config.lwa_fast() is False
+        monkeypatch.setenv("XCONTOUR_LWA_FAST", "yes")
+        assert config.lwa_fast() is True
+        monkeypatch.delenv("XCONTOUR_LWA_FAST")
+    finally:
+        config.set_lwa_fast(None)
+    assert config.lwa_fast() == old

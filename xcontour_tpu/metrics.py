@@ -306,7 +306,12 @@ def complete_mitgcm_metrics(dset, periodic: Optional[str] = "X",
         if dxFv is None:
             dxFv = out.get("dxF")
         if dxFv is not None:
-            hf = hFacC if (partial_cell and hFacC is not None) else 1.0
+            # maskC stands in for hFacC when only the binary mask exists
+            # (cells are then fully fluid or fully land) — otherwise land
+            # cells would get nonzero plane area (reference utils.py:467-469
+            # always has hFacC; the facade documents this fallback)
+            hfc = hFacC if hFacC is not None else get("maskC")
+            hf = hfc if (partial_cell and hfc is not None) else 1.0
             # drF(Z) broadcasts against hFacC(Z,[Y,]X); without hFac, an X-Z
             # plane dxF(Z,X) already leads with Z, a horizontal dxF(Y,X)
             # gains a Z axis (yA is (Z,Y,X) then)
