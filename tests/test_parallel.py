@@ -287,3 +287,35 @@ def test_sharded_adjoint_matches_unsharded(mesh, rng):
     assert np.isfinite(g_plain).all()
     np.testing.assert_allclose(g_shard, g_plain, rtol=1e-9,
                                atol=1e-12 * np.abs(g_plain).max())
+
+
+def test_hybrid_mesh_single_process_reduces_to_make_mesh(mesh, rng):
+    """make_hybrid_mesh on one process == make_mesh over all devices, and a
+    pipeline sharded over it matches the unsharded result (the multi-host
+    DCN placement itself needs a pod; the single-process contract is what
+    this image can pin)."""
+    import jax
+    import jax.numpy as jnp
+    from xcontour_tpu.parallel import make_hybrid_mesh, shard_batch_spec
+    from xcontour_tpu import grid as G
+    from xcontour_tpu.pipeline import keff_lwa_pipeline
+
+    hm = make_hybrid_mesh()
+    assert hm.devices.size == len(jax.devices())
+    assert hm.axis_names == ("batch", "x")
+
+    Ny, Nx = 16, 32
+    grid = G.from_latlon(np.linspace(-75, 75, Ny), np.arange(Nx) * 11.25,
+                         dtype=jnp.float64)
+    t = jnp.asarray(np.cumsum(rng.normal(size=(8, Ny, Nx)), axis=1))
+    want = keff_lwa_pipeline(t, grid, N=7, increase=True, lt=True,
+                             lmin="analytic")
+    ts = jax.device_put(t, shard_batch_spec(hm, t.ndim))
+    got = keff_lwa_pipeline(ts, grid, N=7, increase=True, lt=True,
+                            lmin="analytic")
+    np.testing.assert_allclose(np.asarray(got["nkeff"]),
+                               np.asarray(want["nkeff"]),
+                               rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(got["lwa"]),
+                               np.asarray(want["lwa"]),
+                               rtol=1e-12, atol=1e-12, equal_nan=True)

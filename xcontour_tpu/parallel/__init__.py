@@ -1,4 +1,4 @@
-from .mesh import make_mesh, shard_batch_spec  # noqa: F401
+from .mesh import make_mesh, make_hybrid_mesh, shard_batch_spec  # noqa: F401
 from .histogram import sharded_weighted_cdf  # noqa: F401
 from .lwa import sharded_local_wave_activity  # noqa: F401
 from .length import sharded_contour_lengths  # noqa: F401

@@ -38,6 +38,39 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, axis_names)
 
 
+def make_hybrid_mesh(axis_names: Sequence[str] = ("batch", "x"),
+                     x_size: Optional[int] = None) -> Mesh:
+    """Multi-host ('batch', 'x') mesh: batch rides DCN, x rides ICI.
+
+    On a multi-host pod slice (``jax.process_count() > 1``) the batch axis
+    must map to the slow inter-host network and the spatial axis to in-host
+    ICI neighbors; ``mesh_utils.create_hybrid_device_mesh`` places devices so
+    each host's local devices form the ICI ('x') groups.  Snapshots are
+    embarrassingly parallel, so the batch axis tolerates DCN latency; the
+    histogram psum and length reductions stay on ICI (SURVEY.md §2.4, §5).
+
+    Single-process (this image, tests, the virtual CPU mesh) reduces exactly
+    to :func:`make_mesh` over all visible devices.
+    """
+    n_proc = jax.process_count()
+    if n_proc <= 1:
+        return make_mesh(axis_names=axis_names, x_size=x_size)
+    from jax.experimental import mesh_utils
+
+    local = jax.local_device_count()
+    if x_size is None:
+        x_size = local            # whole-host ICI groups by default
+    if local % x_size:
+        raise ValueError(f"{local} local devices not divisible by "
+                         f"x_size={x_size}")
+    n = len(jax.devices())
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(local // x_size, x_size),
+        dcn_mesh_shape=(n_proc, 1))      # hosts along the batch axis only
+    assert arr.shape == (n // x_size, x_size)
+    return Mesh(arr, axis_names)
+
+
 def shard_batch_spec(mesh: Mesh, ndim: int, batch_axis: str = "batch",
                      x_axis: str = "x") -> NamedSharding:
     """Sharding for a (..., Ny, Nx) field batch: leading axis over ``batch``,
