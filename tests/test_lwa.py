@@ -198,3 +198,36 @@ def test_unknown_method_raises():
         with pytest.raises(ValueError):
             _resolve_method(bad, "all", 256)
     assert _resolve_method("dense", "upper", 256) == "dense"
+
+
+@pytest.mark.parametrize("variant2", [False, True])
+@pytest.mark.parametrize("method", ["lin", "dense", "fast"])
+def test_method_matrix_through_pallas_dispatch(rng, monkeypatch, variant2,
+                                               method):
+    """Every (method, variant) cell of the dispatch table routes through the
+    TPU (Pallas) backend to the same answer as the XLA backend — interpret
+    mode stands in for the hardware (method='fast' is sort-based and has no
+    Pallas form; it must be backend-invariant)."""
+    import importlib
+    from xcontour_tpu import config
+    lk = importlib.import_module("xcontour_tpu.kernels.lwa_pallas")
+
+    Ny, Nx = 20, 16
+    ydef = jnp.asarray(np.linspace(-60.0, 60.0, Ny))
+    q = jnp.asarray(np.cumsum(rng.normal(size=(2, Ny, Nx)), axis=1))
+    dA = jnp.asarray(rng.uniform(0.5, 2.0, size=(Ny, Nx)))
+    Q = jnp.sort(jnp.asarray(rng.normal(size=(2, Ny))), axis=-1)
+    fn = local_wave_activity2 if variant2 else local_wave_activity
+
+    want = fn(q, Q, dA, ydef, increase=True, part="all", method=method)
+
+    orig = lk.lwa_pallas
+    monkeypatch.setattr(lk, "lwa_pallas",
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+    config.set_use_pallas(True)
+    try:
+        got = fn(q, Q, dA, ydef, increase=True, part="all", method=method)
+    finally:
+        config.set_use_pallas(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-9, atol=1e-9)
