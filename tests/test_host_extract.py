@@ -128,3 +128,24 @@ def test_legacy_contour_length_cartesian():
     legacy = contour_length(segs, x, y, latlon=False)
     want = 2 * np.pi * 0.6
     np.testing.assert_allclose(legacy, want, rtol=2e-4)
+
+
+def test_filter_and_single_contour_selection():
+    """filter_contours keeps only full-longitude-coverage contours;
+    single_contour picks the most equatorward full one (reference
+    tests/test_breaking.py:176-231)."""
+    lon = np.arange(0.0, 360.0, 2.5)          # 144 points
+    full_hi = np.stack([lon, np.full(lon.size, 65.0)], axis=1)
+    full_lo = np.stack([lon, np.full(lon.size, 48.0)], axis=1)
+    partial = np.stack([lon[:40], np.full(40, 55.0)], axis=1)
+
+    kept = breaking.filter_contours([full_hi, partial, full_lo], lon)
+    assert len(kept) == 2
+    assert all(c.shape[0] == lon.size for c in kept)
+
+    sel = breaking.single_contour([full_hi, partial, full_lo], lon)
+    np.testing.assert_array_equal(sel, full_lo)   # most equatorward
+
+    # with a single full-coverage candidate, max coverage wins
+    sel2 = breaking.single_contour([partial, full_hi], lon)
+    np.testing.assert_array_equal(sel2, full_hi)
