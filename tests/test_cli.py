@@ -563,3 +563,35 @@ def test_cli_info_and_errors(synth_nc, tmp_path, capsys):
     with pytest.raises(SystemExit, match="not among outputs"):
         cli.main(["clength", path, "--var", "q", "--fields", "bogus",
                   "--out", str(tmp_path / "x.nc")])
+
+
+def test_cli_lwa_part_cyclone_maps_to_upper(synth_nc, tmp_path):
+    """--part cyclone/anticyclone are the CLI names for the reference's
+    'upper' (W+) / 'lower' (W-) selections (reference core.py:709-712) and
+    must reach the kernels as such — and canonicalize identically in the
+    resume fingerprint."""
+    path, q, lat, lon = synth_nc
+    out = str(tmp_path / "lwa_cyc.nc")
+    rc = cli.main(["lwa", path, "--var", "q", "-N", "9", "--batch", "5",
+                   "--part", "cyclone", "--out", out])
+    assert rc == 0
+    ds = load_dataset(out)
+
+    grid = from_latlon(lat, lon, dim_names=("latitude", "longitude"))
+    ref = pipeline.lwa_pipeline(jnp.asarray(q), grid, N=9, increase=True,
+                                lt=True, part="upper")
+    np.testing.assert_array_equal(ds["lwa"], np.asarray(ref["lwa"]))
+
+    # the reference spelling is accepted and resumes onto the same stem
+    stem = str(tmp_path / "ck")
+    rc = cli.main(["lwa", path, "--var", "q", "-N", "9", "--batch", "5",
+                   "--part", "cyclone", "--stem", stem,
+                   "--out", str(tmp_path / "a.nc")])
+    assert rc == 0
+    rc = cli.main(["lwa", path, "--var", "q", "-N", "9", "--batch", "5",
+                   "--part", "upper", "--stem", stem,
+                   "--out", str(tmp_path / "b.nc")])
+    assert rc == 0  # same fingerprint: no "different run" refusal
+    a = load_dataset(str(tmp_path / "a.nc"))
+    b = load_dataset(str(tmp_path / "b.nc"))
+    np.testing.assert_array_equal(a["lwa"], b["lwa"])

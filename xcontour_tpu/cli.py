@@ -414,8 +414,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     pl = sub.add_parser("lwa", help="local finite-amplitude wave activity "
                         "(reference tests/LWA.py)")
     _add_common(pl)
-    pl.add_argument("--part", choices=("all", "cyclone", "anticyclone"),
-                    default="all")
+    pl.add_argument("--part", default="all",
+                    choices=("all", "cyclone", "anticyclone", "upper",
+                             "lower"),
+                    help="W+/W- region selection (Huang-Nakamura 2016): "
+                         "'cyclone' = the reference's 'upper' (W+), "
+                         "'anticyclone' = 'lower' (W-); the reference names "
+                         "are accepted verbatim")
     pl.add_argument("--lwa-method", choices=("auto", "lin", "dense", "fast"),
                     default="auto", help="execution path (docs/API.md)")
     pl.add_argument("--metric", choices=("dA", "dy"), default="dA",
@@ -459,6 +464,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     pf.add_argument("--no-box-counting", action="store_true")
 
     args = ap.parse_args(argv)
+
+    # canonicalize the physical W+/W- names onto the reference's part flags
+    # (reference core.py:709-712: 'upper' = W+ = cyclonic intrusions) BEFORE
+    # the stem fingerprint, so respelling an identical selection still
+    # resumes
+    if getattr(args, "part", None):
+        args.part = {"cyclone": "upper",
+                     "anticyclone": "lower"}.get(args.part, args.part)
 
     if args.cmd == "info":
         ds = load_dataset(args.input)
