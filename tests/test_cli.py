@@ -120,7 +120,7 @@ def test_cli_partial_dims_override(tmp_path, rng):
 
     with pytest.raises(SystemExit, match="not in file"):
         cli.main(["clength", path, "--var", "q", "--dims", "Y=nope"])
-    with pytest.raises(SystemExit, match="expected X=, Y= or Z="):
+    with pytest.raises(SystemExit, match="expected X= or Y="):
         cli.main(["clength", path, "--var", "q", "--dims", "W=ylat"])
 
 
@@ -595,3 +595,47 @@ def test_cli_lwa_part_cyclone_maps_to_upper(synth_nc, tmp_path):
     a = load_dataset(str(tmp_path / "a.nc"))
     b = load_dataset(str(tmp_path / "b.nc"))
     np.testing.assert_array_equal(a["lwa"], b["lwa"])
+
+
+def test_cli_stem_resume_with_isel_and_trailing_chunk_guard(synth_nc,
+                                                            tmp_path):
+    """(1) A byte-identical rerun with --isel resumes instead of being
+    refused (the fingerprint's kv lists must survive the JSON sidecar
+    round-trip); (2) a lost TRAILING chunk file is detected, not silently
+    truncated."""
+    import os
+    path, q, lat, lon = synth_nc
+    stem = str(tmp_path / "ck")
+    argv = ["keff", path, "--var", "q", "-N", "9", "--batch", "2",
+            "--isel", "time=0", "--dims", "X=longitude,Y=latitude",
+            "--stem", stem, "--out", str(tmp_path / "a.nc")]
+    assert cli.main(argv) == 0
+    # identical rerun: must resume (round 2 of the same fingerprint), not
+    # exit with "holds checkpoints from a different run"
+    assert cli.main(argv[:-1] + [str(tmp_path / "b.nc")]) == 0
+    a = load_dataset(str(tmp_path / "a.nc"))
+    b = load_dataset(str(tmp_path / "b.nc"))
+    np.testing.assert_array_equal(a["nkeff"], b["nkeff"])
+
+    # trailing-chunk loss: isel'd single snapshot -> 1 chunk; simulate a
+    # bigger run for the guard via the runner API directly
+    from xcontour_tpu import runner
+    import jax
+    import jax.numpy as jnp_
+    snaps = np.random.default_rng(3).normal(size=(6, 8, 12))
+    stem2 = str(tmp_path / "tail")
+    runner.run_batched(jax.jit(lambda x: {"m": jnp_.mean(x, (-2, -1))}),
+                       snaps, batch=2, out_stem=stem2, log=lambda s: None)
+    os.remove(stem2 + "_ck00002.npz")         # the LAST chunk
+    with pytest.raises(RuntimeError, match="gap"):
+        runner.load_chunks(stem2, expect_chunks=3)
+    # without expect_chunks the truncation is undetectable by design
+    out = runner.load_chunks(stem2)
+    assert out["m"].shape[0] == 4
+
+
+def test_cli_dims_z_rejected(synth_nc, tmp_path):
+    path, q, lat, lon = synth_nc
+    with pytest.raises(SystemExit, match="use --isel"):
+        cli.main(["keff", path, "--var", "q", "--dims", "Z=time",
+                  "--out", str(tmp_path / "z.nc")])

@@ -55,8 +55,12 @@ def _detect_dims(ds: Dataset, user: dict) -> tuple:
     file) fill their axis, autodetection (the reference name lists,
     utils.py:34-39) fills the rest."""
     for axis, name in user.items():
-        if axis not in ("X", "Y", "Z"):
-            raise SystemExit(f"--dims axis {axis!r}: expected X=, Y= or Z=")
+        if axis == "Z":
+            raise SystemExit(
+                "--dims Z= has no effect here: every lead dim is batched; "
+                "use --isel to select vertical levels")
+        if axis not in ("X", "Y"):
+            raise SystemExit(f"--dims axis {axis!r}: expected X= or Y=")
         if name not in ds:
             raise SystemExit(f"--dims {axis}={name}: {name!r} not in file; "
                              f"have: {sorted(set(ds.variables))}")
@@ -196,9 +200,13 @@ def _fingerprint(args, tracer) -> dict:
     fp = {k: v for k, v in sorted(vars(args).items())
           if k not in _FP_EXCLUDE}
     # canonicalize the repeatable kv options so respelling/reordering an
-    # identical selection still resumes
-    fp["isel"] = sorted(_parse_kv(args.isel, "--isel").items())
-    fp["dims"] = sorted(_parse_kv(args.dims, "--dims").items())
+    # identical selection still resumes; store as LISTS of lists — the JSON
+    # sidecar round-trips tuples as lists, and tuple != list would refuse
+    # every rerun that uses --isel/--dims
+    fp["isel"] = [[k, v] for k, v in
+                  sorted(_parse_kv(args.isel, "--isel").items())]
+    fp["dims"] = [[k, v] for k, v in
+                  sorted(_parse_kv(args.dims, "--dims").items())]
     fp["input"] = os.path.abspath(args.input)
     fp["T"] = int(tracer.shape[0])
     return fp
@@ -297,7 +305,9 @@ def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
                            out_stem=args.stem, resume=True,
                            retries=args.retries, on_error=args.on_error,
                            sharding=sharding, validate=validate)
-        out = runner.load_chunks(args.stem, allow_failed=True)
+        out = runner.load_chunks(args.stem, allow_failed=True,
+                                 expect_chunks=-(-tracer.shape[0]
+                                                 // args.batch))
     else:
         out = runner.run_batched(jit_step, tracer, batch=args.batch,
                                  retries=args.retries,

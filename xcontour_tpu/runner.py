@@ -167,13 +167,18 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
     return {k: np.concatenate(v, axis=0) for k, v in parts.items()}
 
 
-def load_chunks(out_stem: str, allow_failed: bool = False
-                ) -> Dict[str, np.ndarray]:
+def load_chunks(out_stem: str, allow_failed: bool = False,
+                expect_chunks: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Reassemble results written by :func:`run_batched`.
 
     Chunks recorded as failed (``*.failed`` markers) raise unless
     ``allow_failed=True``, in which case they are NaN-filled using the shape
     of the surviving chunks so the time axis stays aligned.
+
+    ``expect_chunks`` (when the caller knows ``ceil(T / batch)``) extends the
+    gap guard to MISSING TRAILING chunks — without it only interior holes are
+    detectable, and a lost last chunk file would silently truncate the
+    reassembled time axis.
     """
     import glob
     files = sorted(glob.glob(f"{out_stem}_ck*.npz"))
@@ -213,12 +218,14 @@ def load_chunks(out_stem: str, allow_failed: bool = False
             "to assemble — fix the step and re-run run_batched(..., "
             "resume=True)")
     # a hole in the index sequence (e.g. a manually deleted chunk file with
-    # no .failed marker) would silently misalign the reassembled time axis
-    missing = sorted(set(range(max(chunks) + 1)) - set(chunks))
+    # no .failed marker) would silently misalign the reassembled time axis;
+    # expect_chunks additionally catches missing TRAILING chunks
+    top = max(max(chunks) + 1, expect_chunks or 0)
+    missing = sorted(set(range(top)) - set(chunks))
     if missing:
         raise RuntimeError(
             f"chunk index gap under {out_stem}: missing {missing} of "
-            f"0..{max(chunks)}; re-run run_batched(..., resume=True) to "
+            f"0..{top - 1}; re-run run_batched(..., resume=True) to "
             "regenerate them")
     parts: Dict[str, List[np.ndarray]] = {}
     for k in sorted(chunks):
