@@ -639,3 +639,66 @@ def test_cli_dims_z_rejected(synth_nc, tmp_path):
     with pytest.raises(SystemExit, match="use --isel"):
         cli.main(["keff", path, "--var", "q", "--dims", "Z=time",
                   "--out", str(tmp_path / "z.nc")])
+
+
+def test_lazy_load_and_lazy_field_equivalence(synth_nc, tmp_path, rng):
+    """load_dataset(lazy=True) defers reads (h5py dataset, not ndarray), and
+    the CLI's _LazyField applies isel/scale/mask/cast per chunk to exactly
+    the eager composition."""
+    import argparse
+    path, q, lat, lon = synth_nc
+    ds = load_dataset(path, lazy=True)
+    assert not isinstance(ds["q"], np.ndarray)      # still on disk
+    np.testing.assert_array_equal(np.asarray(ds["q"][1:3]), q[1:3])
+
+    # sigma(lat) scale + isel + mask-from-nan through _load_field
+    sigma = np.linspace(0.5, 1.5, lat.size).astype(np.float32)
+    qn = q.copy()
+    qn[:, 2, 3] = np.nan                           # topography cell
+    p2 = str(tmp_path / "lazy2.nc")
+    save_dataset(p2, {"q": qn, "sigma": sigma, "latitude": lat,
+                      "longitude": lon},
+                 {"q": ("time", "latitude", "longitude"),
+                  "sigma": ("latitude",),
+                  "latitude": ("latitude",), "longitude": ("longitude",)},
+                 coords={"latitude": lat, "longitude": lon,
+                         "time": np.arange(5, dtype=np.int32)})
+    args = argparse.Namespace(
+        input=p2, var="q", dims=None, isel=["time=1"], scale_var="sigma",
+        mask_var=None, mask_from_nan=True, batch=2, f64=False)
+    tracer, grid, lead_names, lead_shape, _ = cli._load_field(args)
+    assert type(tracer).__name__ == "_LazyField"
+    assert tracer.shape == (1, lat.size, lon.size)
+
+    want = (qn[1] * sigma[:, None]).astype(np.float32)
+    want = np.where(np.isfinite(qn).all(axis=0), want, np.nan)
+    np.testing.assert_array_equal(tracer[0:1][0], want)
+    np.testing.assert_array_equal(np.asarray(grid.mask),
+                                  np.isfinite(qn).all(axis=0).astype(
+                                      np.float32))
+
+
+def test_lazy_nc3_memmap(tmp_path, rng):
+    """Classic netCDF-3 loads lazily as a memmap and streams through the
+    CLI without the mmap-close warning."""
+    import warnings
+    Ny, Nx = 12, 18
+    lat = np.linspace(-50.0, 50.0, Ny)
+    lon = np.linspace(0.0, 340.0, Nx)
+    q = rng.standard_normal((3, Ny, Nx)).astype(np.float32)
+    path = str(tmp_path / "c.nc")
+    save_dataset_nc3(path, {"q": q, "lat": lat, "lon": lon},
+                     {"q": ("time", "lat", "lon"), "lat": ("lat",),
+                      "lon": ("lon",)},
+                     coords={"lat": lat, "lon": lon})
+    ds = load_dataset(path, lazy=True)
+    np.testing.assert_allclose(np.asarray(ds["q"][2:3]), q[2:3], rtol=1e-7)
+
+    out = str(tmp_path / "c_out.nc")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)   # mmap-close noise
+        rc = cli.main(["clength", path, "--var", "q", "-N", "7",
+                       "--batch", "2", "--out", out])
+    assert rc == 0
+    got = load_dataset(out)
+    assert got["lengths"].shape == (3, 7)

@@ -91,14 +91,87 @@ def _pick_var(ds: Dataset, var: Optional[str], lat_n: str, lon_n: str) -> str:
         f"in ({lat_n}, {lon_n})" + (f": {sorted(cands)}" if cands else ""))
 
 
-def _load_field(args):
-    """Shared input stage: read, detect dims, build grid, shape the batch.
+class _LazyField:
+    """(T, Ny, Nx) streaming view of a (lead..., Ny, Nx) file variable.
 
-    Returns (tracer (T, Ny, Nx) float np array, grid, lead dim names,
-    lead shape, lead coords dict)."""
+    Wraps a lazy source (h5py dataset / nc3 memmap / ndarray) and applies
+    the per-chunk transforms — --isel lead selection, --scale-var multiply,
+    fluid-mask NaN'ing, dtype cast — at slice time, so the CLI never
+    materializes the archive: ``runner.run_batched`` explicitly accepts any
+    sliceable (T, ...) source, and this is what makes inputs larger than
+    host memory stream (the design the module docstring promises)."""
+
+    def __init__(self, src, vdims, isel, scale_src, sdims, mask, dtype,
+                 keepalive=()):
+        self.src = src
+        self._keepalive = list(keepalive)  # open file handles must outlive
+        #                                    the views this field slices
+        self._vdims = list(vdims)             # original axis names
+        self._isel = dict(isel)               # name -> normalized index
+        self._scale = scale_src               # lazy too; None when unused
+        self._sdims = list(sdims or ())
+        self._mask = mask                     # (Ny, Nx) fluid mask or None
+        self._lead_names = [d for d in self._vdims[:-2] if d not in isel]
+        self.lead_shape = tuple(
+            src.shape[self._vdims.index(d)] for d in self._lead_names)
+        T = int(np.prod(self.lead_shape)) if self.lead_shape else 1
+        self.shape = (T,) + tuple(src.shape[-2:])
+        self.ndim = 3
+        self.dtype = np.dtype(dtype)
+
+    def set_mask(self, mask):
+        self._mask = mask
+
+    def _lead_index(self, t):
+        if not self.lead_shape:
+            return {}
+        pos = np.unravel_index(t, self.lead_shape)
+        return dict(zip(self._lead_names, (int(p) for p in pos)))
+
+    def _read(self, t):
+        lead = self._lead_index(t)
+        idx = tuple(
+            slice(None) if ax >= len(self._vdims) - 2
+            else self._isel.get(d, lead.get(d))
+            for ax, d in enumerate(self._vdims))
+        snap = np.asarray(self.src[idx])
+        if self._scale is not None:
+            plane = self._vdims[-2:]
+            sidx = tuple(slice(None) if d in plane
+                         else self._isel.get(d, lead.get(d))
+                         for d in self._sdims)
+            sval = np.asarray(self._scale[sidx])
+            # align the surviving (plane) dims: each missing plane dim
+            # broadcasts as length 1
+            sval = sval.reshape(tuple(
+                self.shape[1 + k] if plane[k] in self._sdims else 1
+                for k in range(2)))
+            snap = snap * sval
+        snap = snap.astype(self.dtype, copy=False)
+        if self._mask is not None:
+            snap = np.where(self._mask != 0, snap, np.nan)
+        return snap
+
+    def __getitem__(self, key):
+        if not isinstance(key, slice):
+            raise TypeError("_LazyField supports slice indexing only")
+        idxs = range(*key.indices(self.shape[0]))
+        out = np.empty((len(idxs),) + self.shape[1:], self.dtype)
+        for i, t in enumerate(idxs):
+            out[i] = self._read(t)
+        return out
+
+
+def _load_field(args):
+    """Shared input stage: open lazily, detect dims, build grid, shape the
+    batch.
+
+    Returns (tracer — a (T, Ny, Nx) streaming view, grid, lead dim names,
+    lead shape, lead coords dict).  Only coordinates, masks and scale
+    metadata are read eagerly; snapshot data is read per chunk."""
     if args.batch < 1:
         raise SystemExit(f"--batch must be >= 1, got {args.batch}")
-    ds = load_dataset(args.input)
+    ds = load_dataset(args.input, lazy=True)
     lon_n, lat_n = _detect_dims(ds, _parse_kv(args.dims, "--dims"))
     var = _pick_var(ds, args.var, lat_n, lon_n)
     vdims = list(ds.dims_of(var))
@@ -106,8 +179,9 @@ def _load_field(args):
         raise SystemExit(
             f"variable {var!r} has dims {tuple(vdims)}; the last two must "
             f"be ({lat_n}, {lon_n})")
-    data = np.asarray(ds[var])
+    src = ds[var]
 
+    scale_src, sdims = None, ()
     if args.scale_var:
         sv = args.scale_var
         if sv not in ds.variables:
@@ -123,17 +197,16 @@ def _load_field(args):
             raise SystemExit(f"--scale-var {sv!r} dims {tuple(sdims)} are "
                              f"ordered differently than {var!r}'s "
                              f"{tuple(vdims)}")
-        sarr = np.asarray(ds[sv])
+        scale_src = ds[sv]
         for d in sdims:
-            want, got = data.shape[vdims.index(d)], sarr.shape[sdims.index(d)]
+            want = src.shape[vdims.index(d)]
+            got = scale_src.shape[sdims.index(d)]
             if want != got:
                 raise SystemExit(f"--scale-var {sv!r}: dim {d!r} has length "
                                  f"{got}, but {var!r} has {want}")
-        shape = [sarr.shape[sdims.index(d)] if d in sdims else 1
-                 for d in vdims]
-        data = data * sarr.reshape(shape)
 
     # integer selections on lead dims (e.g. --isel lev=3)
+    isel = {}
     for name, idx in _parse_kv(args.isel, "--isel").items():
         if name not in vdims[:-2]:
             raise SystemExit(f"--isel dim {name!r} not a lead dim of "
@@ -143,21 +216,22 @@ def _load_field(args):
         except ValueError:
             raise SystemExit(f"--isel {name}={idx}: index must be an "
                              "integer") from None
-        ax = vdims.index(name)
-        if not -data.shape[ax] <= idx < data.shape[ax]:
+        size = src.shape[vdims.index(name)]
+        if not -size <= idx < size:
             raise SystemExit(f"--isel {name}={idx}: out of range for size "
-                             f"{data.shape[ax]}")
-        data = np.take(data, idx, axis=ax)
-        vdims.pop(ax)
-
-    lead_names = tuple(vdims[:-2]) or ("time",)
-    lead_shape = tuple(data.shape[:-2]) or (1,)
-    lead_coords = {n: np.asarray(ds[n]) for n in vdims[:-2]
-                   if n in ds and np.asarray(ds[n]).ndim == 1
-                   and len(np.asarray(ds[n])) == data.shape[vdims.index(n)]}
+                             f"{size}")
+        isel[name] = idx % size
 
     dtype = np.float64 if args.f64 else np.float32
-    tracer = data.reshape((-1,) + data.shape[-2:]).astype(dtype)
+    tracer = _LazyField(src, vdims, isel, scale_src, sdims, None, dtype,
+                        keepalive=ds._keepalive)
+
+    lead_names = tuple(tracer._lead_names) or ("time",)
+    lead_shape = tracer.lead_shape or (1,)
+    lead_coords = {n: np.asarray(ds[n]) for n in tracer._lead_names
+                   if n in ds and np.asarray(ds[n]).ndim == 1
+                   and len(np.asarray(ds[n])) ==
+                   src.shape[vdims.index(n)]}
 
     if args.mask_var and args.mask_from_nan:
         raise SystemExit("--mask-var and --mask-from-nan are exclusive")
@@ -173,13 +247,18 @@ def _load_field(args):
                              f"be exactly ({lat_n}, {lon_n})")
         mask = ((m != 0) & np.isfinite(m)).astype(dtype)
     elif args.mask_from_nan:
-        mask = np.isfinite(tracer).all(axis=0).astype(dtype)
+        # one streaming pass: fluid = finite in EVERY snapshot
+        fin = np.ones(tracer.shape[1:], bool)
+        for lo in range(0, tracer.shape[0], args.batch):
+            fin &= np.isfinite(
+                tracer[lo:lo + args.batch]).all(axis=0)
+        mask = fin.astype(dtype)
     if mask is not None:
         # the reference's ocean drivers mask the TRACER too
         # (tracer.where(maskC), tests/test_Keff_ocean.py) — NaN cells are
         # what the length/LWA/local-window kernels exclude; the grid mask
         # alone only reaches the A(Yeq) table and numeric Lmin
-        tracer = np.where(mask[None] != 0, tracer, np.nan)
+        tracer.set_mask(mask)
 
     lat = np.asarray(ds[lat_n], np.float64)
     lon = np.asarray(ds[lon_n], np.float64)
@@ -484,7 +563,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                      "anticyclone": "lower"}.get(args.part, args.part)
 
     if args.cmd == "info":
-        ds = load_dataset(args.input)
+        ds = load_dataset(args.input, lazy=True)  # shapes only, no reads
         for name in sorted(ds.variables):
             a = ds.variables[name]
             print(f"{name}  dims={ds.dims_of(name)}  shape={a.shape}  "

@@ -26,12 +26,19 @@ class Dataset:
     """A minimal named-array container: variables + per-variable dim names,
     1-D coordinate variables, and per-variable attributes — the labeled
     output shape the reference's xarray pipelines return
-    (/root/reference/xcontour/core.py:251-266, 1017-1047)."""
+    (/root/reference/xcontour/core.py:251-266, 1017-1047).
+
+    Under ``load_dataset(..., lazy=True)`` the variables are h5py datasets
+    (or scipy memmaps) instead of in-memory arrays; ``_keepalive`` pins the
+    open file(s) for their lifetime.  Slicing (``ds[name][lo:hi]``) then
+    reads only the requested range — the contract the batch CLI uses to
+    stream archives larger than host memory."""
 
     variables: Dict[str, np.ndarray] = field(default_factory=dict)
     dims: Dict[str, Tuple[str, ...]] = field(default_factory=dict)
     attrs: Dict[str, dict] = field(default_factory=dict)
     coords: Dict[str, np.ndarray] = field(default_factory=dict)
+    _keepalive: list = field(default_factory=list, repr=False)
 
     def __getitem__(self, name: str) -> np.ndarray:
         if name in self.variables:
@@ -62,15 +69,19 @@ class Dataset:
                      attrs=self.attrs)
 
 
-def _load_h5(path: str) -> Dataset:
+def _load_h5(path: str, lazy: bool = False) -> Dataset:
     import h5py
+    from contextlib import nullcontext
 
     ds = Dataset()
-    with h5py.File(path, "r") as f:
+    f = h5py.File(path, "r")
+    with (nullcontext(f) if lazy else f):
+        if lazy:
+            ds._keepalive.append(f)
 
         def visit(name, obj):
             if isinstance(obj, h5py.Dataset):
-                data = obj[()]
+                data = obj if lazy else obj[()]
                 # netCDF-4 stores dim names in the DIMENSION_LIST/attached scale
                 # metadata; fall back to phony names.
                 dim_names = []
@@ -82,7 +93,7 @@ def _load_h5(path: str) -> Dataset:
                         label = dim.label
                     dim_names.append(label or f"phony_dim_{i}")
                 key = name.rsplit("/", 1)[-1]
-                ds.variables[key] = np.asarray(data)
+                ds.variables[key] = data if lazy else np.asarray(data)
                 ds.dims[key] = tuple(dim_names)
                 ds.attrs[key] = {
                     k: v for k, v in obj.attrs.items() if not k.startswith(("DIMENSION", "CLASS", "NAME", "REFERENCE"))
@@ -92,24 +103,54 @@ def _load_h5(path: str) -> Dataset:
     return ds
 
 
-def _load_nc3(path: str) -> Dataset:
+class _Nc3Keepalive:
+    """Close an mmap-backed scipy netcdf_file at GC without the RuntimeWarning
+    it raises when (dying-together) views still reference the buffer — the
+    mmap pages stay valid until every view is gone, so the warning is noise
+    in this ownership scheme (the Dataset/_LazyField pins this object)."""
+
+    def __init__(self, f):
+        self.f = f
+
+    def __del__(self):  # pragma: no cover — GC timing
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            try:
+                self.f.close()
+            except Exception:
+                pass
+
+
+def _load_nc3(path: str, lazy: bool = False) -> Dataset:
     from scipy.io import netcdf_file
 
     ds = Dataset()
-    with netcdf_file(path, "r", mmap=False) as f:
+    f = netcdf_file(path, "r", mmap=lazy)
+    try:
+        if lazy:
+            ds._keepalive.append(_Nc3Keepalive(f))
         for name, var in f.variables.items():
-            ds.variables[name] = np.asarray(var[:])
+            ds.variables[name] = var.data if lazy else np.asarray(var[:])
             ds.dims[name] = tuple(var.dimensions)
             ds.attrs[name] = dict(var._attributes)
+    finally:
+        if not lazy:
+            f.close()
     return ds
 
 
-def load_dataset(path: str) -> Dataset:
-    """Read a netCDF file (HDF5-backed or classic) into a :class:`Dataset`."""
+def load_dataset(path: str, lazy: bool = False) -> Dataset:
+    """Read a netCDF file (HDF5-backed or classic) into a :class:`Dataset`.
+
+    ``lazy=True`` defers variable reads: HDF5 variables stay h5py datasets,
+    classic files are memory-mapped — slicing reads only the touched range,
+    so archives larger than host memory can stream (the batch CLI's input
+    mode).  The open file handle lives as long as the returned Dataset."""
     try:
-        return _load_h5(path)
+        return _load_h5(path, lazy)
     except OSError:
-        return _load_nc3(path)
+        return _load_nc3(path, lazy)
 
 
 def save_dataset(path: str, variables: Dict[str, np.ndarray], dims: Dict[str, Tuple[str, ...]],
