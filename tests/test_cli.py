@@ -702,3 +702,30 @@ def test_lazy_nc3_memmap(tmp_path, rng):
     assert rc == 0
     got = load_dataset(out)
     assert got["lengths"].shape == (3, 7)
+
+
+def test_cli_descending_latitude_normalized(synth_nc, tmp_path, rng, capsys):
+    """ERA5-convention files (latitude 90..-90) are normalized to ascending
+    rows — the contour chain assumes an ascending equivalent coordinate
+    (reference users sortby first) — and produce the ascending file's
+    results exactly, labeled with the ascending coordinate."""
+    path, q, lat, lon = synth_nc
+    pd = str(tmp_path / "desc.nc")
+    save_dataset(pd, {"q": q[:, ::-1].copy(), "latitude": lat[::-1].copy(),
+                      "longitude": lon},
+                 {"q": ("time", "latitude", "longitude"),
+                  "latitude": ("latitude",), "longitude": ("longitude",)},
+                 coords={"latitude": lat[::-1].copy(), "longitude": lon,
+                         "time": np.arange(5, dtype=np.int32)})
+    out_a = str(tmp_path / "asc_lwa.nc")
+    out_d = str(tmp_path / "desc_lwa.nc")
+    assert cli.main(["lwa", path, "--var", "q", "-N", "9", "--batch", "5",
+                     "--out", out_a]) == 0
+    assert cli.main(["lwa", pd, "--var", "q", "-N", "9", "--batch", "5",
+                     "--out", out_d]) == 0
+    assert "normalized to ascending" in capsys.readouterr().out
+    a = load_dataset(out_a)
+    d = load_dataset(out_d)
+    np.testing.assert_array_equal(np.asarray(d["latitude"]),
+                                  np.asarray(a["latitude"]))
+    np.testing.assert_array_equal(np.asarray(d["lwa"]), np.asarray(a["lwa"]))

@@ -64,3 +64,21 @@ def test_xz_grid_partial_cells():
     dA = np.asarray(g.dA)
     np.testing.assert_allclose(dA[0, 0], 10.0 * 2.0, rtol=1e-12)
     np.testing.assert_allclose(dA[-1, 0], 10.0 * 0.5 * 2.0, rtol=1e-12)
+
+
+def test_descending_latitude_metrics_positive():
+    """ERA5-convention files store latitude 90..-90: every metric is a
+    length/area and must stay positive (a signed dyF sign-flips the LWA
+    'dy' metric); metrics equal the ascending grid's, row-flipped."""
+    lat_a = np.linspace(-88.0, 88.0, 23)
+    lon = np.arange(16) * 22.5
+    up = G.from_latlon(lat_a, lon, dtype=jnp.float64)
+    dn = G.from_latlon(lat_a[::-1].copy(), lon, dtype=jnp.float64)
+    for name in ("dyF", "dxF", "dA"):
+        v = np.asarray(getattr(dn, name))
+        assert (v >= 0).all(), name
+        np.testing.assert_allclose(v, np.asarray(getattr(up, name))[::-1],
+                                   rtol=1e-12, err_msg=name)
+    legacy = G.from_latlon(lat_a[::-1].copy(), lon, exact_area=False,
+                           dtype=jnp.float64)
+    assert (np.asarray(legacy.dA) > 0).all()

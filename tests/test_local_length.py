@@ -91,3 +91,20 @@ def test_local_length_pallas_window_batch_parity(vorticity):
     np.testing.assert_allclose(np.asarray(gy), np.asarray(cy))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-9, equal_nan=True)
+
+
+def test_rolling_mean_f32_offset_field(rng):
+    """A Kelvin-scale constant offset must not degrade the f32 window mean:
+    the integral image is built on the de-meaned field (box sums of huge
+    cumsums would otherwise lose ~1e-3 relative in f32)."""
+    from xcontour_tpu.diagnostics.local_length import rolling_mean
+    Ny, Nx, w = 256, 512, 64
+    f = 300.0 + rng.normal(size=(Ny, Nx))          # ~Kelvin field
+    got, oy, ox = rolling_mean(jnp.asarray(f, jnp.float32), w, 32)
+    # f64 direct window means
+    want = np.empty((len(oy), len(ox)))
+    for i, y0 in enumerate(np.asarray(oy)):
+        for j, x0 in enumerate(np.asarray(ox)):
+            want[i, j] = f[y0:y0 + w, x0:x0 + w].mean()
+    err = np.abs(np.asarray(got, np.float64) - want) / np.abs(want)
+    assert err.max() < 3e-6, err.max()             # was ~1e-3 pre-fix

@@ -423,3 +423,30 @@ def test_stencil_pallas_ad_path(rng):
     # forward value, so the grads agree to rounding, not bit-for-bit
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
                                rtol=1e-10, atol=1e-30)
+
+
+@pytest.mark.parametrize("variant2", [False, True])
+def test_lwa_linearized_kernel_inf_matches_xla_twin(rng, variant2):
+    """+/-inf tracer/weight cells: the lin family treats them as invalid
+    (zeroed), and the Pallas forward must agree with _lwa_lin_xla — the
+    function its custom VJP differentiates — or grads detach from the
+    primal."""
+    from xcontour_tpu.diagnostics.lwa import _lwa_lin_xla
+    B, Ny, Nx = 2, 16, 12
+    q = np.cumsum(rng.normal(size=(B, Ny, Nx)), axis=1)
+    q[0, 4, 2] = np.inf
+    q[1, 7, 5] = -np.inf
+    q[0, 9, 9] = np.nan
+    dA = rng.uniform(0.5, 2.0, size=(Ny, Nx))
+    W = dA / dA.max() * dA
+    W[3, 3] = np.inf
+    Q = np.sort(rng.normal(size=(B, Ny)), axis=-1)
+
+    want = np.asarray(_lwa_lin_xla(jnp.asarray(q), jnp.asarray(Q),
+                                   jnp.asarray(W), True, variant2, 0))
+    got = np.asarray(lwa_pallas(jnp.asarray(q), jnp.asarray(Q),
+                                jnp.asarray(W), increase=True, part="all",
+                                variant2=variant2, interpret=True,
+                                pairwise=False))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)

@@ -319,3 +319,27 @@ def test_hybrid_mesh_single_process_reduces_to_make_mesh(mesh, rng):
     np.testing.assert_allclose(np.asarray(got["lwa"]),
                                np.asarray(want["lwa"]),
                                rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_sharded_stencil_honors_bc_and_nonperiodic(mesh, rng):
+    """sharded_squared_gradient must follow THIS grid's flags: non-periodic
+    X uses one-sided edge columns (no wraparound halo), and the Y wall BC is
+    the grid's bc_y — pinned against ops.stencil.squared_gradient."""
+    import jax
+    import jax.numpy as jnp
+    from xcontour_tpu import grid as G
+    from xcontour_tpu.ops.stencil import squared_gradient
+    from xcontour_tpu.parallel.stencil import sharded_squared_gradient
+
+    Ny, Nx = 12, 32
+    for bc in ("extend", "reflect", "fill"):
+        grid = G.from_cartesian(np.arange(Ny) * 50.0, np.arange(Nx) * 80.0,
+                                periodic_x=False, dtype=jnp.float64)
+        grid = G.Grid(**{**{f.name: getattr(grid, f.name)
+                            for f in __import__("dataclasses").fields(grid)},
+                         "bc_y": bc})
+        q = jnp.asarray(rng.normal(size=(8, Ny, Nx)))
+        want = squared_gradient(q, grid)
+        got = sharded_squared_gradient(q, grid, mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12, atol=1e-15, err_msg=bc)

@@ -100,3 +100,33 @@ def test_config_env_and_override_paths(monkeypatch):
     finally:
         config.set_lwa_fast(None)
     assert config.lwa_fast() == old
+
+
+def test_stopwatch_fetch_forced_sync():
+    """Stopwatch syncs by fetching (block_until_ready is a no-op through the
+    axon tunnel); records carry compile/run separation."""
+    import jax
+    import jax.numpy as jnp
+    from xcontour_tpu.utils.prof import Stopwatch
+
+    sw = Stopwatch()
+    rec = sw.time("sum", jax.jit(lambda x: jnp.sum(x * x)),
+                  jnp.ones((64, 64)), reps=3)
+    assert rec["per_call_s"] >= 0 and rec["first_call_s"] > 0
+    assert sw.records and "sum" in sw.report()
+
+
+def test_mitgcm_vertical_missing_drF_raises():
+    import pytest as _pytest
+    from xcontour_tpu.xcontour import add_MITgcm_missing_metrics
+    ds = {"Z": -(np.arange(4) + 0.5), "XC": np.arange(8) + 0.5,
+          "dxF": np.ones((4, 8))}
+    with _pytest.raises(ValueError, match="drF"):
+        add_MITgcm_missing_metrics(ds)
+
+
+def test_single_contour_empty_raises():
+    import pytest as _pytest
+    from xcontour_tpu.host import breaking
+    with _pytest.raises(ValueError, match="no contour"):
+        breaking.single_contour([], np.arange(0.0, 360.0, 2.5))

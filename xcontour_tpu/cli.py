@@ -102,10 +102,12 @@ class _LazyField:
     host memory stream (the design the module docstring promises)."""
 
     def __init__(self, src, vdims, isel, scale_src, sdims, mask, dtype,
-                 keepalive=()):
+                 keepalive=(), flip_y=False):
         self.src = src
         self._keepalive = list(keepalive)  # open file handles must outlive
         #                                    the views this field slices
+        self._flip_y = flip_y              # descending-latitude files are
+        #                                    normalized to ascending rows
         self._vdims = list(vdims)             # original axis names
         self._isel = dict(isel)               # name -> normalized index
         self._scale = scale_src               # lazy too; None when unused
@@ -147,6 +149,8 @@ class _LazyField:
                 self.shape[1 + k] if plane[k] in self._sdims else 1
                 for k in range(2)))
             snap = snap * sval
+        if self._flip_y:
+            snap = snap[::-1]
         snap = snap.astype(self.dtype, copy=False)
         if self._mask is not None:
             snap = np.where(self._mask != 0, snap, np.nan)
@@ -223,8 +227,20 @@ def _load_field(args):
         isel[name] = idx % size
 
     dtype = np.float64 if args.f64 else np.float32
+    lat = np.asarray(ds[lat_n], np.float64)
+    lon = np.asarray(ds[lon_n], np.float64)
+    # the contour-space chain assumes the equivalent coordinate ascends
+    # (the reference's users sortby('latitude') first; its eq-latitude
+    # formula accumulates area from the south pole) — normalize the ERA5
+    # 90..-90 storage convention here and label outputs with ascending lat
+    flip_y = lat.size > 1 and lat[0] > lat[-1]
+    if flip_y:
+        lat = lat[::-1].copy()
+        print(f"[cli] {lat_n} is stored descending; rows normalized to "
+              "ascending (outputs are labeled with the ascending "
+              "coordinate)")
     tracer = _LazyField(src, vdims, isel, scale_src, sdims, None, dtype,
-                        keepalive=ds._keepalive)
+                        keepalive=ds._keepalive, flip_y=flip_y)
 
     lead_names = tuple(tracer._lead_names) or ("time",)
     lead_shape = tracer.lead_shape or (1,)
@@ -245,6 +261,8 @@ def _load_field(args):
         if tuple(ds.dims_of(mv)) != (lat_n, lon_n):
             raise SystemExit(f"--mask-var {mv!r} dims {ds.dims_of(mv)} must "
                              f"be exactly ({lat_n}, {lon_n})")
+        if flip_y:
+            m = m[::-1]
         mask = ((m != 0) & np.isfinite(m)).astype(dtype)
     elif args.mask_from_nan:
         # one streaming pass: fluid = finite in EVERY snapshot
@@ -260,8 +278,6 @@ def _load_field(args):
         # alone only reaches the A(Yeq) table and numeric Lmin
         tracer.set_mask(mask)
 
-    lat = np.asarray(ds[lat_n], np.float64)
-    lon = np.asarray(ds[lon_n], np.float64)
     grid = from_latlon(lat, lon, mask=mask, dim_names=(lat_n, lon_n),
                        dtype=tracer.dtype)
     return tracer, grid, lead_names, lead_shape, lead_coords

@@ -31,7 +31,15 @@ def rolling_mean(data: jax.Array, window: int, stride: int,
     top-left corners; windows with fewer than ``min_count`` valid points give
     NaN (the reference's ``min_periods``, tests/test_localLength.py:41)."""
     good = jnp.isfinite(data)
-    vals = jnp.where(good, data, 0.0)
+    # remove the field's constant offset before building the integral image:
+    # a box sum is a small difference of huge cumsums, and in f32 a
+    # Kelvin-scale offset (~3e2 over 1e6 cells -> ~3e8 partials) would leave
+    # O(1e-3) relative error in the window mean vs the reference's direct
+    # rolling(...).mean(); mean(f) = mean(f - c) + c restores it exactly
+    c0 = jnp.nanmean(jnp.where(good, data, jnp.nan), axis=(-2, -1),
+                     keepdims=True)
+    c0 = jnp.where(jnp.isfinite(c0), c0, 0.0)
+    vals = jnp.where(good, data - c0, 0.0)
 
     def integral(a):
         s = jnp.cumsum(jnp.cumsum(a, axis=-2), axis=-1)
@@ -50,7 +58,7 @@ def rolling_mean(data: jax.Array, window: int, stride: int,
     yy, xx = jnp.meshgrid(oy, ox, indexing="ij")
     s = box(S, yy, xx)
     n = box(C, yy, xx)
-    mean = s / jnp.maximum(n, 1)
+    mean = s / jnp.maximum(n, 1) + c0   # c0 is (..., 1, 1): broadcasts
     return jnp.where(n >= min_count, mean, jnp.nan), oy, ox
 
 

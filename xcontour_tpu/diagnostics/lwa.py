@@ -65,8 +65,13 @@ def _part_select(mask3, part: str, increase: bool):
 
 def _pallas_ok(q) -> bool:
     """Use the Pallas kernel when on TPU and the narrowest (Ny x 128) column
-    panel fits the kernel's VMEM budget (it blocks along X for wide grids;
-    taller grids than that would need Y blocking — ROADMAP)."""
+    panel fits the kernel's VMEM budget (it blocks along X for wide grids).
+
+    Taller grids deliberately take the XLA lin twin, NOT lwa_pallas's
+    y-blocked path: that path is the 7-op PAIRWISE kernel (the linearized
+    kernels have no y-blocked form), and it measured 3.3x slower than the
+    XLA lin twin on hardware (4x4096x512 f32: 153 vs 46 ms).  Past the
+    sort crossover (_FAST_NY_CROSSOVER) 'fast' takes over anyway."""
     from .. import config
     from ..kernels.lwa_pallas import _VMEM_BUDGET
     Ny = q.shape[-2]

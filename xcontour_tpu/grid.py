@@ -131,7 +131,12 @@ def from_latlon(lat, lon, Rearth: float = _REARTH,
     dxG = np.where(dxG < 1e-15, 0.0, dxG)
     dxF = 0.5 * (dxG[:-1, :] + dxG[1:, :])
 
-    dyF = (np.diff(latE) * d2r * Rearth)[:, None] * np.ones_like(dlam)[None, :]
+    # |diff|: dyF is a LINE ELEMENT (m, positive) — descending-latitude files
+    # (the ERA5 90..-90 convention) must not sign-flip the LWA 'dy' metric or
+    # the legacy rectangle areas (directional spacing for gradients comes
+    # from ops.stencil._spacing, which keeps the coordinate's sign)
+    dyF = np.abs(np.diff(latE) * d2r * Rearth)[:, None] \
+        * np.ones_like(dlam)[None, :]
 
     if exact_area:
         # exact spherical areas: R^2 |sin(phi1)-sin(phi2)| dlambda (utils.py:190)

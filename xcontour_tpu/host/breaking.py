@@ -156,6 +156,9 @@ def single_contour(contours: List[np.ndarray], lon: np.ndarray,
     """Select the circumpolar contour: the most-equatorward full-coverage one
     (reference ``single_contours``, tests/test_breaking.py:201-231)."""
     lon = np.asarray(lon)
+    if not contours:
+        raise ValueError("no contour pieces to select from — the level is "
+                         "outside the field's range or fully masked")
     coverage = [len(np.unique(np.round(c[:, 0]))) / lon.size for c in contours]
     full = [i for i, cov in enumerate(coverage) if cov >= x_extent]
     if len(full) > 1:

@@ -117,7 +117,11 @@ def _kernel_lin(Qs_ref, q_ref, W_ref, Qc_ref, out_ref, E_ref, qk_ref, Wv_ref,
     def _():
         qr = q_ref[0]                       # (Ny, nxb) raw centered tracer
         Wr = W_ref[...]
-        valid = ~(jnp.isnan(qr) | jnp.isnan(Wr))
+        # isfinite, not ~isnan: the lin family (this kernel, _lwa_lin_xla —
+        # which is also this kernel's VJP — and the 'fast' sort path) treats
+        # +/-inf cells as invalid; only the reference-faithful dense/pairwise
+        # paths propagate inf like the reference's nansum
+        valid = jnp.isfinite(qr) & jnp.isfinite(Wr)
         sent = jnp.asarray(jnp.inf if increase else -jnp.inf, qr.dtype)
         qk_ref[...] = jnp.where(valid, qr, sent)
         Wv = jnp.where(valid, Wr, 0.0)
@@ -178,9 +182,10 @@ def _kernel_lin2(Qs_ref, q_ref, Qt_ref, W_ref, out_ref, E_ref, Wv_ref, *,
         qr = q_ref[0]
         Wr = W_ref[...]
         validQ = jnp.isfinite(Qcol)
-        Wv = jnp.where(validQ & ~jnp.isnan(Wr), Wr, 0.0)
+        # isfinite on q/W too — lin-family inf semantics, see _kernel_lin
+        Wv = jnp.where(validQ & jnp.isfinite(Wr), Wr, 0.0)
         Wv_ref[...] = Wv
-        qt = jnp.where(jnp.isnan(qr), 0.0, qr)
+        qt = jnp.where(jnp.isfinite(qr), qr, 0.0)
         Qt = jnp.where(validQ, Qcol, 0.0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (qr.shape[0], 1), 0)
         Wprev = jnp.where(iota >= 1, pltpu.roll(Wv, 1, 0), 0.0)

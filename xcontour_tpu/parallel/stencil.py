@@ -28,8 +28,12 @@ def sharded_squared_gradient(q: jax.Array, grid: Grid, mesh: Mesh,
                              batch_axis: str = "batch", x_axis: str = "x"):
     """|grad q|^2 with q (B, Ny, Nx) sharded (batch, -, x) over the mesh.
 
-    Matches ops.stencil.squared_gradient (periodic X via halo exchange,
-    centered Y with one-sided edges).
+    Matches ops.stencil.squared_gradient for THIS grid's flags: periodic X
+    rides the halo exchange; non-periodic X takes one-sided differences at
+    the global edge columns (only on the first/last shard); the Y wall BC
+    is the grid's ``bc_y`` ('extend'/'reflect'/'fill'), evaluated by the
+    same ``ops.stencil._centered_y`` the single-device path uses.
+    Each shard must hold at least 2 columns.
     """
     y = grid.ydef
     x = grid.xdef
@@ -47,6 +51,8 @@ def sharded_squared_gradient(q: jax.Array, grid: Grid, mesh: Mesh,
 
     nshards = mesh.shape[x_axis]
 
+    from ..ops.stencil import _centered_y
+
     def local(qs, dxs):
         # qs: (Bl, Ny, Nxl); halo exchange one column each way over the ring
         idx = jax.lax.axis_index(x_axis)
@@ -56,12 +62,18 @@ def sharded_squared_gradient(q: jax.Array, grid: Grid, mesh: Mesh,
         from_left = jax.lax.ppermute(qs[..., -1:], x_axis, right)
         from_right = jax.lax.ppermute(qs[..., :1], x_axis, left)
         ext = jnp.concatenate([from_left, qs, from_right], axis=-1)
-        qx = (ext[..., 2:] - ext[..., :-2]) * 0.5 / dxs
-        interior = (qs[..., 2:, :] - qs[..., :-2, :]) * 0.5
-        first = qs[..., 1:2, :] - qs[..., 0:1, :]
-        last = qs[..., -1:, :] - qs[..., -2:-1, :]
-        qy = jnp.concatenate([first, interior, last], axis=-2) / dy[:, None]
-        del idx
+        num = (ext[..., 2:] - ext[..., :-2]) * 0.5
+        if not grid.periodic_x:
+            # global edge columns live only on the first/last shard: replace
+            # the wrapped halo difference with the one-sided full difference
+            # (ops.stencil._centered_x non-periodic walls)
+            one0 = qs[..., 1:2] - qs[..., 0:1]
+            one1 = qs[..., -1:] - qs[..., -2:-1]
+            num = jnp.concatenate(
+                [jnp.where(idx == 0, one0, num[..., :1]), num[..., 1:-1],
+                 jnp.where(idx == nsh - 1, one1, num[..., -1:])], axis=-1)
+        qx = num / dxs
+        qy = _centered_y(qs, grid.bc_y) / dy[:, None]
         return qx * qx + qy * qy
 
     dx2d = coslat[:, None] * dx_row[None, :]

@@ -75,7 +75,10 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
     nvalids: List[int] = []
     failures: List[int] = []
 
-    # pre-issue the first transfer; subsequent transfers overlap compute
+    # pre-issue the first transfer; subsequent transfers overlap compute.
+    # device_put goes straight from the host array to the (sharded) devices —
+    # one transfer; routing through jnp.asarray would commit the whole chunk
+    # to the default device first and pay a second resharding copy.
     def chunk_array(k):
         lo = k * batch
         hi = min(lo + batch, T)
@@ -83,7 +86,7 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
         if hi - lo < batch:  # pad the tail so the compiled shape is reused
             pad = np.repeat(arr[-1:], batch - (hi - lo), axis=0)
             arr = np.concatenate([arr, pad], axis=0)
-        return jax.device_put(jnp.asarray(arr), sharding), hi - lo
+        return jax.device_put(arr, sharding), hi - lo
 
     def attempt(dev, nvalid):
         out = step(dev)
@@ -92,17 +95,32 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
             validate(out_np)
         return out_np
 
-    pending = chunk_array(0)
-    for k in range(nchunk):
-        dev, nvalid = pending
-        if k + 1 < nchunk:
-            pending = chunk_array(k + 1)
-        nvalids.append(nvalid)
+    def nvalid_of(k):
+        return min((k + 1) * batch, T) - k * batch
 
+    def skippable(k):
+        return (out_stem is not None and resume
+                and os.path.exists(f"{out_stem}_ck{k:05d}.npz"))
+
+    # a resumed archive must not be re-read/re-transferred just to skip:
+    # prefetch targets the NEXT chunk that will actually compute
+    def next_todo(k0):
+        for k in range(k0, nchunk):
+            if not skippable(k):
+                return k
+        return None
+
+    todo = next_todo(0)
+    pending = (todo, chunk_array(todo)) if todo is not None else (None, None)
+    for k in range(nchunk):
+        nvalids.append(nvalid_of(k))
         path = f"{out_stem}_ck{k:05d}.npz" if out_stem else None
-        if path and resume and os.path.exists(path):
+        if pending[0] != k:
             log(f"[runner] chunk {k + 1}/{nchunk}: exists, skipped")
             continue
+        dev, nvalid = pending[1]
+        nxt = next_todo(k + 1)
+        pending = (nxt, chunk_array(nxt)) if nxt is not None else (None, None)
 
         t0 = time.perf_counter()
         out_np, last_err = None, None

@@ -7,8 +7,13 @@ pipeline needs:
 * :func:`annotate` — name a pipeline stage so it shows up in XLA/TPU profiler
   traces (jax.profiler TraceAnnotation / named_scope);
 * :class:`Stopwatch` — a structured wall-clock harness that times jitted
-  callables with proper compile/run separation and device synchronization, and
-  reports a JSON-able record (used by bench.py and ad-hoc perf work).
+  callables with compile/run separation and a FETCH-forced sync (a tiny
+  transfer of one output element), because ``jax.block_until_ready`` does not
+  synchronize through this image's remote TPU runtime (CLAUDE.md; measured
+  "1692 Tflop/s" when trusted).  For sub-millisecond kernels prefer
+  ``bench.device_time``'s dependency-chained slope, which also cancels the
+  fixed tunnel round-trip; Stopwatch is the simple harness for >> round-trip
+  stage timings.
 """
 
 from __future__ import annotations
@@ -29,9 +34,21 @@ def annotate(name: str):
         yield
 
 
+def _force(out) -> None:
+    """Actually wait for device work: fetch one element of one output.
+
+    ``jax.block_until_ready`` returns at enqueue time through this image's
+    remote runtime; a host fetch cannot."""
+    import numpy as np
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "dtype")]
+    if leaves:
+        np.asarray(jax.numpy.ravel(leaves[0])[:1])
+
+
 @dataclass
 class Stopwatch:
-    """Compile-aware timing of jitted functions."""
+    """Compile-aware timing of jitted functions (fetch-forced sync)."""
 
     records: List[Dict[str, Any]] = field(default_factory=list)
 
@@ -39,13 +56,13 @@ class Stopwatch:
              **kwargs) -> Dict[str, Any]:
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        _force(out)
         compile_and_first = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        _force(out)
         per_call = (time.perf_counter() - t0) / reps
 
         rec = dict(name=name, first_call_s=round(compile_and_first, 6),

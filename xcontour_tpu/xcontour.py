@@ -158,6 +158,11 @@ def add_MITgcm_missing_metrics(dset, periodic="X", boundary=None,
         return metrics, grid
     drF = get("drF")
     dxF = get("dxF")
+    if drF is None and ("drC" not in metrics or ("yA" not in dset
+                                                 and "yA" not in metrics)):
+        raise ValueError("vertical-plane (Z, XC) MITgcm dset must carry drF "
+                         "(level thicknesses) unless drC and yA are already "
+                         "present")
     if dxF is None:
         dxF = metrics.get("dxF")
     if dxF is None:
