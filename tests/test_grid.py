@@ -82,3 +82,12 @@ def test_descending_latitude_metrics_positive():
     legacy = G.from_latlon(lat_a[::-1].copy(), lon, exact_area=False,
                            dtype=jnp.float64)
     assert (np.asarray(legacy.dA) > 0).all()
+
+
+def test_descending_latitude_warns():
+    import warnings
+    lat = np.linspace(88.0, -88.0, 23)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        G.from_latlon(lat, np.arange(16) * 22.5)
+    assert any("DESCENDING" in str(x.message) for x in w)

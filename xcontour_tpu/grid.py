@@ -113,6 +113,15 @@ def from_latlon(lat, lon, Rearth: float = _REARTH,
     """
     lat = np.asarray(lat, np.float64)
     lon = np.asarray(lon, np.float64)
+    if lat.size > 1 and lat[0] > lat[-1]:
+        import warnings
+        warnings.warn(
+            "from_latlon: latitude is DESCENDING (the ERA5 90..-90 storage "
+            "convention).  The contour chain accumulates area from the "
+            "south pole (reference semantics) and will return wrong "
+            "equivalent latitudes / LWA on descending rows — flip the "
+            "coordinate and the field rows to ascending first (the batch "
+            "CLI does this automatically).", stacklevel=2)
     latE = _edges_from_centers(lat)
     lonE = _edges_from_centers(lon)
     periodic = is_periodic_lon(lon)
