@@ -156,10 +156,41 @@ class _LazyField:
             snap = np.where(self._mask != 0, snap, np.nan)
         return snap
 
+    def _read_contiguous(self, lo, hi):
+        """Fast path for the common layout (exactly one lead dim): one
+        hyperslab read instead of per-snapshot calls — chunked/compressed
+        HDF5 layouts spanning several records would otherwise be re-read
+        and re-decompressed once per snapshot."""
+        d0 = self._lead_names[0]
+        idx = tuple(
+            slice(None) if ax >= len(self._vdims) - 2
+            else (slice(lo, hi) if d == d0 else self._isel[d])
+            for ax, d in enumerate(self._vdims))
+        block = np.asarray(self.src[idx])                # (hi-lo, Ny, Nx)
+        if self._scale is not None:
+            plane = self._vdims[-2:]
+            sidx = tuple(
+                slice(None) if d in plane
+                else (slice(lo, hi) if d == d0 else self._isel[d])
+                for d in self._sdims)
+            sval = np.asarray(self._scale[sidx])
+            shp = ((hi - lo if d0 in self._sdims else 1,)
+                   + tuple(self.shape[1 + k] if plane[k] in self._sdims
+                           else 1 for k in range(2)))
+            block = block * sval.reshape(shp)
+        if self._flip_y:
+            block = block[:, ::-1]
+        block = block.astype(self.dtype, copy=False)
+        if self._mask is not None:
+            block = np.where(self._mask != 0, block, np.nan)
+        return block
+
     def __getitem__(self, key):
         if not isinstance(key, slice):
             raise TypeError("_LazyField supports slice indexing only")
         idxs = range(*key.indices(self.shape[0]))
+        if len(self._lead_names) == 1 and idxs.step == 1:
+            return self._read_contiguous(idxs.start, idxs.stop)
         out = np.empty((len(idxs),) + self.shape[1:], self.dtype)
         for i, t in enumerate(idxs):
             out[i] = self._read(t)
@@ -244,10 +275,12 @@ def _load_field(args):
 
     lead_names = tuple(tracer._lead_names) or ("time",)
     lead_shape = tracer.lead_shape or (1,)
-    lead_coords = {n: np.asarray(ds[n]) for n in tracer._lead_names
-                   if n in ds and np.asarray(ds[n]).ndim == 1
-                   and len(np.asarray(ds[n])) ==
-                   src.shape[vdims.index(n)]}
+    lead_coords = {}
+    for n in tracer._lead_names:
+        if n in ds:
+            v = np.asarray(ds[n])  # read the (small) coordinate once
+            if v.ndim == 1 and len(v) == src.shape[vdims.index(n)]:
+                lead_coords[n] = v
 
     if args.mask_var and args.mask_from_nan:
         raise SystemExit("--mask-var and --mask-from-nan are exclusive")

@@ -50,6 +50,11 @@ def sharded_squared_gradient(q: jax.Array, grid: Grid, mesh: Mesh,
         coslat = jnp.ones_like(y, q.dtype)
 
     nshards = mesh.shape[x_axis]
+    if not grid.periodic_x and q.shape[-1] // nshards < 2:
+        raise ValueError(
+            f"non-periodic sharded stencil needs >= 2 columns per shard; "
+            f"Nx={q.shape[-1]} over {nshards} shards gives "
+            f"{q.shape[-1] // nshards}")
 
     from ..ops.stencil import _centered_y
 

@@ -110,61 +110,76 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
                 return k
         return None
 
-    todo = next_todo(0)
-    pending = (todo, chunk_array(todo)) if todo is not None else (None, None)
-    for k in range(nchunk):
-        nvalids.append(nvalid_of(k))
-        path = f"{out_stem}_ck{k:05d}.npz" if out_stem else None
-        if pending[0] != k:
-            log(f"[runner] chunk {k + 1}/{nchunk}: exists, skipped")
-            continue
-        dev, nvalid = pending[1]
-        nxt = next_todo(k + 1)
-        pending = (nxt, chunk_array(nxt)) if nxt is not None else (None, None)
+    # double buffer on a background thread: the (possibly lazy/disk-backed)
+    # snapshot read of chunk k+1 runs WHILE chunk k computes — without it
+    # the read serializes against compute and out-of-core wall-clock becomes
+    # sum(read)+sum(compute) instead of max().  One worker: sources are
+    # touched by at most one thread at a time (h5py is not thread-safe for
+    # concurrent access, sequential handoff is fine).
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=1)
 
-        t0 = time.perf_counter()
-        out_np, last_err = None, None
-        for a in range(retries + 1):
-            try:
-                out_np = attempt(dev, nvalid)
-                break
-            except Exception as e:  # noqa: BLE001 — isolate any step failure
-                last_err = e
-                if a < retries:
-                    wait = retry_wait * (2 ** a)
-                    log(f"[runner] chunk {k + 1}/{nchunk}: attempt "
-                        f"{a + 1} failed ({e}); retrying in {wait:.2f}s")
-                    time.sleep(wait)
+    try:
+        todo = next_todo(0)
+        pending = (todo, pool.submit(chunk_array, todo)) \
+            if todo is not None else (None, None)
+        for k in range(nchunk):
+            nvalids.append(nvalid_of(k))
+            path = f"{out_stem}_ck{k:05d}.npz" if out_stem else None
+            if pending[0] != k:
+                log(f"[runner] chunk {k + 1}/{nchunk}: exists, skipped")
+                continue
+            dev, nvalid = pending[1].result()
+            nxt = next_todo(k + 1)
+            pending = (nxt, pool.submit(chunk_array, nxt)) \
+                if nxt is not None else (None, None)
 
-        if out_np is None:
-            if on_error == "raise":
-                raise last_err
-            failures.append(k)
-            log(f"[runner] chunk {k + 1}/{nchunk}: FAILED after "
-                f"{retries + 1} attempts: {last_err}")
+            t0 = time.perf_counter()
+            out_np, last_err = None, None
+            for a in range(retries + 1):
+                try:
+                    out_np = attempt(dev, nvalid)
+                    break
+                except Exception as e:  # noqa: BLE001 — isolate any failure
+                    last_err = e
+                    if a < retries:
+                        wait = retry_wait * (2 ** a)
+                        log(f"[runner] chunk {k + 1}/{nchunk}: attempt "
+                            f"{a + 1} failed ({e}); retrying in {wait:.2f}s")
+                        time.sleep(wait)
+
+            if out_np is None:
+                if on_error == "raise":
+                    raise last_err
+                failures.append(k)
+                log(f"[runner] chunk {k + 1}/{nchunk}: FAILED after "
+                    f"{retries + 1} attempts: {last_err}")
+                if path:
+                    rec = {"chunk": k, "nvalid": nvalid,
+                           "error": repr(last_err)}
+                    tmp = _failed_path(out_stem, k) + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(rec, f)
+                    os.replace(tmp, _failed_path(out_stem, k))
+                else:
+                    collected.append(None)
+                continue
+
+            dt = time.perf_counter() - t0
+            log(f"[runner] chunk {k + 1}/{nchunk}: {nvalid} snapshots "
+                f"in {dt:.3f}s ({nvalid / dt:.1f}/s)")
+
             if path:
-                rec = {"chunk": k, "nvalid": nvalid, "error": repr(last_err)}
-                tmp = _failed_path(out_stem, k) + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(rec, f)
-                os.replace(tmp, _failed_path(out_stem, k))
+                tmp = path + ".tmp.npz"
+                np.savez(tmp, **out_np)
+                os.replace(tmp, path)  # atomic: complete or absent
+                failed = _failed_path(out_stem, k)
+                if os.path.exists(failed):  # a retry succeeded on resume
+                    os.remove(failed)
             else:
-                collected.append(None)
-            continue
-
-        dt = time.perf_counter() - t0
-        log(f"[runner] chunk {k + 1}/{nchunk}: {nvalid} snapshots "
-            f"in {dt:.3f}s ({nvalid / dt:.1f}/s)")
-
-        if path:
-            tmp = path + ".tmp.npz"
-            np.savez(tmp, **out_np)
-            os.replace(tmp, path)  # atomic: a chunk file is complete or absent
-            failed = _failed_path(out_stem, k)
-            if os.path.exists(failed):  # a retry succeeded on resume
-                os.remove(failed)
-        else:
-            collected.append(out_np)
+                collected.append(out_np)
+    finally:
+        pool.shutdown(wait=True)
 
     if failures:
         log(f"[runner] {len(failures)}/{nchunk} chunks failed: {failures}")

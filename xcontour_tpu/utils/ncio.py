@@ -75,31 +75,43 @@ def _load_h5(path: str, lazy: bool = False) -> Dataset:
 
     ds = Dataset()
     f = h5py.File(path, "r")
-    with (nullcontext(f) if lazy else f):
+    try:
+        with (nullcontext(f) if lazy else f):
+            return _visit_h5(ds, f, lazy)
+    except Exception:
         if lazy:
-            ds._keepalive.append(f)
+            f.close()  # don't leak the handle when visiting fails mid-file
+        raise
 
-        def visit(name, obj):
-            if isinstance(obj, h5py.Dataset):
-                data = obj if lazy else obj[()]
-                # netCDF-4 stores dim names in the DIMENSION_LIST/attached scale
-                # metadata; fall back to phony names.
-                dim_names = []
-                for i, dim in enumerate(obj.dims):
-                    label = None
-                    if len(dim) > 0:
-                        label = dim[0].name.rsplit("/", 1)[-1]
-                    elif dim.label:
-                        label = dim.label
-                    dim_names.append(label or f"phony_dim_{i}")
-                key = name.rsplit("/", 1)[-1]
-                ds.variables[key] = data if lazy else np.asarray(data)
-                ds.dims[key] = tuple(dim_names)
-                ds.attrs[key] = {
-                    k: v for k, v in obj.attrs.items() if not k.startswith(("DIMENSION", "CLASS", "NAME", "REFERENCE"))
-                }
 
-        f.visititems(visit)
+def _visit_h5(ds, f, lazy):
+    import h5py
+
+    if lazy:
+        ds._keepalive.append(f)
+
+    def visit(name, obj):
+        if isinstance(obj, h5py.Dataset):
+            # netCDF-4 stores dim names in the DIMENSION_LIST/attached scale
+            # metadata; fall back to phony names.
+            dim_names = []
+            for i, dim in enumerate(obj.dims):
+                label = None
+                if len(dim) > 0:
+                    label = dim[0].name.rsplit("/", 1)[-1]
+                elif dim.label:
+                    label = dim.label
+                dim_names.append(label or f"phony_dim_{i}")
+            key = name.rsplit("/", 1)[-1]
+            ds.variables[key] = obj if lazy else np.asarray(obj[()])
+            ds.dims[key] = tuple(dim_names)
+            ds.attrs[key] = {
+                k: v for k, v in obj.attrs.items()
+                if not k.startswith(("DIMENSION", "CLASS", "NAME",
+                                     "REFERENCE"))
+            }
+
+    f.visititems(visit)
     return ds
 
 
