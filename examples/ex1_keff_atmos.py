@@ -49,7 +49,9 @@ def main():
     fig.tight_layout()
     fig.savefig(os.path.join(os.path.dirname(__file__), "ex1_keff_atmos.png"),
                 dpi=110)
-    print("Keff finite fraction:", np.isfinite(nkeff).mean())
+    frac = np.isfinite(nkeff).mean()
+    print("Keff finite fraction:", frac)
+    assert frac > 0.5, "most per-level Keff values should be finite"
 
 
 if __name__ == "__main__":

@@ -55,6 +55,8 @@ def main():
     fig.savefig(os.path.join(os.path.dirname(__file__), "ex2_lwa_atmos.png"),
                 dpi=110)
     print("max LWA (m/s):", float(np.nanmax(lwa)))
+    # reference notebook 2 scale: tens of m/s for this snapshot
+    assert 20.0 < float(np.nanmax(lwa)) < 40.0
 
 
 if __name__ == "__main__":

@@ -51,9 +51,10 @@ def main():
     # positive-definite up to the documented f32 noise floor of the default
     # LWA path (~5e-5 of the field max; see pipeline.lwa_pipeline docstring)
     floor = 5e-5 * np.nanmax(lape)
-    print("LAPE >= 0 everywhere (to the f32 noise floor):",
-          bool(np.nanmin(lape) > -floor),
+    ok = bool(np.nanmin(lape) > -floor)
+    print("LAPE >= 0 everywhere (to the f32 noise floor):", ok,
           f"(min {np.nanmin(lape):.2e}, floor {-floor:.2e})")
+    assert ok, "LAPE must be positive-definite to the documented floor"
 
 
 if __name__ == "__main__":

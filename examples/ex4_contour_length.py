@@ -60,7 +60,9 @@ def main():
     fig.tight_layout()
     fig.savefig(os.path.join(os.path.dirname(__file__),
                              "ex4_contour_length.png"), dpi=110)
-    print("median D:", float(np.nanmedian(np.asarray(fr["D"]))))
+    D = float(np.nanmedian(np.asarray(fr["D"])))
+    print("median D:", D)
+    assert 1.0 <= D < 2.0, "fractal dimension of a plane curve"
 
 
 if __name__ == "__main__":

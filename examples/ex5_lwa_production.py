@@ -70,6 +70,8 @@ def main():
     ds.to_nc3(nc)
     print("wrote", nc, "vars:", sorted(ds.keys()),
           "dims(lwa):", ds.dims_of("lwa"))
+    assert out["lwa"].shape == pv.shape and np.nanmax(out["lwa"]) > 0
+    assert {"Q", "lwa", "lwa_norm"} <= set(ds.keys())
 
 
 if __name__ == "__main__":

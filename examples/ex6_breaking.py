@@ -53,6 +53,7 @@ def main():
     cover = len(np.unique(np.round(main_contour[:, 0]))) / lon.size
     print(f"selected contour: {len(main_contour)} pts, "
           f"{cover:.0%} longitude coverage")
+    assert cover >= 0.99, "the circumpolar contour must span the globe"
 
 
 if __name__ == "__main__":

@@ -67,6 +67,8 @@ def main():
     print(f"sum(nkeff) = {float(kval):.4e}; "
           f"|dJ/dq| max {np.abs(ksens).max():.3e}, "
           f"finite fraction {np.isfinite(ksens).mean():.3f}")
+    assert np.isfinite(sens).all() and np.isfinite(ksens).all()
+    assert np.abs(sens).max() > 0 and np.abs(ksens).max() > 0
 
     import matplotlib
     matplotlib.use("Agg")
