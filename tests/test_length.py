@@ -171,3 +171,30 @@ def test_fractal_on_vorticity(vorticity):
     Dv = D[np.isfinite(D)]
     assert Dv.size > 10
     assert np.nanmedian(Dv) > 0.95 and np.nanmedian(Dv) < 1.8
+
+
+def test_endpoint_tied_level_exact_empty():
+    """A level exactly equal to the field minimum (endpoint-pinned contours
+    guarantee this) has no contour: the total must be EXACTLY zero -> NaN
+    under the reference's empty rule, in the multi-level vectorized compile
+    too.  The convex-combination vertex form makes tie fractions land
+    bitwise on corners (fuzz campaign seed 500002: the old c0 + f*(c1-c0)
+    form left a ~1e-10 segment once the vectorizer picked an fma)."""
+    rng = np.random.default_rng(500002)
+    Ny, Nx = 35, 40
+    lat = np.linspace(-80.0, 80.0, Ny)
+    lon = np.arange(Nx) * (360.0 / Nx)
+    f = rng.integers(0, 2, size=(Ny, Nx)).astype(np.float64)
+    f += 1e-3 * rng.normal(size=(Ny, Nx))
+    f *= 3.2
+    f[rng.uniform(size=f.shape) < 0.1] = np.nan
+    for N in (1, 5, 23, 24):
+        ctr = compat.contours_linspace(f, N, False)
+        want = compat.contour_lengths(f, ctr, lat, lon, latlon=True)
+        got = np.asarray(contour_lengths(
+            jnp.asarray(f), jnp.asarray(ctr), jnp.asarray(lat),
+            jnp.asarray(lon), latlon=True))
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want),
+                                      err_msg=f"N={N}")
+        np.testing.assert_allclose(got, want, rtol=1e-9, equal_nan=True,
+                                   err_msg=f"N={N}")

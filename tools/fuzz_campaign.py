@@ -126,6 +126,23 @@ def one(seed: int) -> list:
     for key, ref in (("Q", wl["Q"]), ("lwa", wl["lwa"]),
                      ("lwa2", wl["lwa2"])):
         cmp(f"lwa.{key}", gl[key][0], ref)
+
+    # ---- geometry: marching-squares lengths + box counting ----------------
+    from xcontour_tpu.diagnostics.length import (contour_lengths,
+                                                 contour_crossing)
+    ctr = compat.contours_linspace(f, N, increase)
+    wlen = compat.contour_lengths(f, ctr, lat, lon, latlon=True)
+    glen = contour_lengths(jnp.asarray(f), jnp.asarray(ctr),
+                           jnp.asarray(lat), jnp.asarray(lon), latlon=True)
+    cmp("geom.lengths", glen, wlen)
+    stride = int(rng.integers(1, 4))
+    quirks = bool(rng.integers(0, 2))
+    lev = float(ctr[N // 2])
+    if np.isfinite(lev):
+        wcr = compat.contour_crossing(f, lev, dA, stride, quirks=quirks)
+        gcr = contour_crossing(jnp.asarray(f), jnp.asarray([lev]),
+                               jnp.asarray(dA), stride, quirks=quirks)
+        cmp("geom.crossing", np.asarray(gcr), np.asarray([wcr]))
     return fails
 
 

@@ -82,10 +82,20 @@ def _level_total_length(level, v00, v01, v10, v11, y0, y1, x0, x1,
     fb = frac(v10, v11)
     fl = frac(v00, v10)
     fr = frac(v01, v11)
-    top = (y0, x0 + ft * (x1 - x0))
-    bot = (y1, x0 + fb * (x1 - x0))
-    lef = (y0 + fl * (y1 - y0), x0)
-    rig = (y0 + fr * (y1 - y0), x1)
+
+    def lerp(f, c0, c1):
+        # convex-combination form: f in {0, 1} (a corner EQUAL to the level,
+        # guaranteed at the endpoint-pinned contours) lands bitwise on the
+        # corner under ANY compilation — `c0 + f*(c1-c0)` does not once the
+        # vectorizer picks an fma, and the surviving ~1e-10 segment length
+        # broke the exact total==0 -> NaN empty-contour rule (fuzz campaign
+        # seed 500002)
+        return (1.0 - f) * c0 + f * c1
+
+    top = (y0, lerp(ft, x0, x1))
+    bot = (y1, lerp(fb, x0, x1))
+    lef = (lerp(fl, y0, y1), x0)
+    rig = (lerp(fr, y0, y1), x1)
 
     if latlon:
         def seglen(p, q):
