@@ -198,3 +198,18 @@ def test_endpoint_tied_level_exact_empty():
                                       err_msg=f"N={N}")
         np.testing.assert_allclose(got, want, rtol=1e-9, equal_nan=True,
                                    err_msg=f"N={N}")
+
+
+def test_crossing_quirks_bound_exceeds_width():
+    """quirks mode can demand more column boxes than the padded width holds
+    (the reference's numpy slices clamp); vectorized windows must reproduce
+    the clamped blocks, not crash (fuzz seed 1004: Ny=11, Nx=8, stride=2)."""
+    f = np.zeros((11, 8))
+    f[5:] = 1.0
+    area = np.full((11, 8), 4.0)
+    for quirks in (True, False):
+        want = compat.contour_crossing(f, 0.5, area, 2, quirks=quirks)
+        got = float(np.asarray(contour_crossing(
+            jnp.asarray(f), jnp.asarray([0.5]), jnp.asarray(area), 2,
+            quirks=quirks))[0])
+        assert got == want, (quirks, got, want)

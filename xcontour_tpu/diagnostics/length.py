@@ -258,6 +258,17 @@ def _crossing_one_stride(data, contours, area, stride: int, pad_x: int,
     In = int(np.round(nn / stride))
     i_bound = (Jn - 1) if quirks else (In - 1)
 
+    # the reference's quirks loop can demand more column boxes than the
+    # padded width holds (its numpy slices CLAMP at the edge and width-1
+    # blocks still participate, core.py:1545-1550); extra NaN columns make
+    # the NaN-aware window min/max reproduce exactly those clamped blocks
+    # instead of a shape error (fuzz campaign seed 1004: Ny=11 Nx=8 s=2)
+    extra = max(0, i_bound * stride + 1 - nn)
+    if extra:
+        d = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, extra)],
+                    constant_values=np.nan)
+        a = jnp.pad(a, [(0, 0), (0, extra)], constant_values=np.nan)
+
     wmin, wmax = _window_minmax(d, stride)
     wmin = wmin[..., : Jn - 1, :i_bound]
     wmax = wmax[..., : Jn - 1, :i_bound]
