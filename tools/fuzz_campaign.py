@@ -152,7 +152,10 @@ def main():
     t0 = time.time()
     seed, nfail = seed0, 0
     while time.time() - t0 < budget:
-        fails = one(seed)
+        try:
+            fails = one(seed)
+        except Exception as e:  # a crash is a finding, not the end of the sweep
+            fails = [f"CRASH {type(e).__name__}: {str(e)[:160]}"]
         if fails:
             nfail += 1
             for msg in fails:
