@@ -332,10 +332,20 @@ def _cells_total_length(data: np.ndarray, level: float, ycoord: np.ndarray,
     fb = frac(v10, v11)
     fl = frac(v00, v10)
     fr = frac(v01, v11)
-    top = (y0, x0 + ft * (x1 - x0))
-    bot = (y1, x0 + fb * (x1 - x0))
-    lef = (y0 + fl * (y1 - y0), x0)
-    rig = (y0 + fr * (y1 - y0), x1)
+
+    def lerp(f, c0, c1):
+        # convex combination: tie fractions (0/1) land bitwise on corners.
+        # The reference itself is exact there — skimage interpolates in
+        # INTEGER index space (f==1 gives r+1 exactly) and the index->coord
+        # np.interp then returns the exact grid coordinate — so a tied level
+        # must contribute exactly zero length (-> the NaN empty rule), which
+        # `c0 + f*(c1-c0)` breaks by an ulp on offset coordinates.
+        return (1.0 - f) * c0 + f * c1
+
+    top = (y0, lerp(ft, x0, x1))
+    bot = (y1, lerp(fb, x0, x1))
+    lef = (lerp(fl, y0, y1), x0)
+    rig = (lerp(fr, y0, y1), x1)
 
     def seglen(p, q):
         if latlon:
