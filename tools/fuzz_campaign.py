@@ -119,13 +119,16 @@ def one(seed: int) -> list:
             want["interp"][key])
 
     # ---- LWA chain (reference-exact dense path) ---------------------------
-    wl = compat.lwa_snapshot(f, lat, dA, mask, N=N, increase=increase, lt=lt)
+    part = ("all", "upper", "lower")[int(rng.integers(0, 3))]
+    wl = compat.lwa_snapshot(f, lat, dA, mask, N=N, increase=increase,
+                             lt=lt, part=part)
     gl = lwa_pipeline(jnp.asarray(f)[None], grid,
                       mask=jnp.asarray(mask, jnp.float64), N=N,
-                      increase=increase, lt=lt, lwa_method="dense")
+                      increase=increase, lt=lt, part=part,
+                      lwa_method="dense")
     for key, ref in (("Q", wl["Q"]), ("lwa", wl["lwa"]),
                      ("lwa2", wl["lwa2"])):
-        cmp(f"lwa.{key}", gl[key][0], ref)
+        cmp(f"lwa.{key}[{part}]", gl[key][0], ref)
 
     # ---- geometry: marching-squares lengths + box counting ----------------
     from xcontour_tpu.diagnostics.length import (contour_lengths,
