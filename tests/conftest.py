@@ -37,6 +37,25 @@ def vorticity():
             np.asarray(ds["absolute_vorticity"], np.float64))
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture()
+def rng(request):
+    """Per-test rng seeded from the test's node id.
+
+    A session-scoped stream makes every test's draws depend on which tests
+    ran before it — the source of a 1-in-N suite-order flake (round-3
+    verdict item 2).  Deriving the seed from the node id makes each test's
+    randomness identical under any collection order, -k selection, or
+    parallel split, and still reproducible in isolation.
+    """
+    import zlib
+    seed = zlib.crc32(request.node.nodeid.encode())
+    return np.random.default_rng(seed)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Opt-in shuffled collection order (TEST_SHUFFLE_SEED=<int>) to prove
+    order independence — the round-3 flake only appeared under full-suite
+    ordering."""
+    seed = os.environ.get("TEST_SHUFFLE_SEED")
+    if seed:
+        np.random.default_rng(int(seed)).shuffle(items)

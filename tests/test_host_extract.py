@@ -149,3 +149,92 @@ def test_filter_and_single_contour_selection():
     # with a single full-coverage candidate, max coverage wins
     sel2 = breaking.single_contour([partial, full_hi], lon)
     np.testing.assert_array_equal(sel2, full_hi)
+
+
+def test_find_contour_period_closes_seam_crossing():
+    """A tracer blob straddling the 0/360 longitude seam: without period=
+    the contour is cut open at the seam; with period=(None, 360) the wrap
+    column closes it and the total haversine length matches the same blob
+    centered mid-domain (reference find_contour(period=...) usage,
+    tests/test_breaking.py:412-421 / test_clength.py:615-630)."""
+    from xcontour_tpu.host import contour_lengths as host_lengths
+    from xcontour_tpu.utils.constants import Rearth
+
+    Ny, Nx = 64, 128
+    lat = np.linspace(-80.0, 80.0, Ny)
+    lon = np.arange(0.0, 360.0, 360.0 / Nx)
+
+    def blob(center_lon):
+        dlon = (lon[None, :] - center_lon + 180.0) % 360.0 - 180.0
+        return np.exp(-(lat[:, None] / 25.0) ** 2 - (dlon / 40.0) ** 2)
+
+    level = 0.5
+    seam = blob(0.0)          # crosses the 0/360 seam
+    mid = blob(180.0)         # same blob, mid-domain
+
+    # open at the seam without a period: more pieces, shorter total
+    open_segs = find_contour(seam, (lat, lon), level)
+    closed_segs = find_contour(seam, (lat, lon), level, period=(None, 360.0))
+    mid_segs = find_contour(mid, (lat, lon), level)
+    assert len(closed_segs) < len(open_segs) or (
+        sum(s.shape[0] for s in closed_segs)
+        > sum(s.shape[0] for s in open_segs))
+
+    L_closed = sum(contour_length(s, latlon=True) for s in closed_segs)
+    L_mid = sum(contour_length(s, latlon=True) for s in mid_segs)
+    np.testing.assert_allclose(L_closed, L_mid, rtol=1e-10)
+    L_open = sum(contour_length(s, latlon=True) for s in open_segs)
+    assert L_open < L_closed
+
+    # wrap-column vertices map past xdef[-1] toward lon[0]+360
+    assert max(s[:, 1].max() for s in closed_segs) > lon[-1]
+
+    # composed helper agrees with the manual composition and with the
+    # analytic circumference of a zonal circle for a zonally-flat field
+    got = host_lengths(seam, [level], dims=(lat, lon), latlon=True,
+                       period=(None, 360.0))
+    np.testing.assert_allclose(got[0], L_closed, rtol=1e-12)
+
+    zonal = np.sin(np.deg2rad(lat))[:, None] * np.ones((1, Nx))
+    phi = 45.0
+    Lz = host_lengths(zonal, [np.sin(np.deg2rad(phi))], dims=(lat, lon),
+                      latlon=True, period=(None, 360.0))
+    np.testing.assert_allclose(Lz[0], 2 * np.pi * Rearth
+                               * np.cos(np.deg2rad(phi)), rtol=2e-3)
+    # without the wrap the zonal circle is missing its seam segment
+    Lz_open = host_lengths(zonal, [np.sin(np.deg2rad(phi))],
+                           dims=(lat, lon), latlon=True)
+    assert Lz_open[0] < Lz[0]
+
+
+def test_host_contour_lengths_reference_observables():
+    """Composed helper edge semantics match the reference script: a level
+    with no crossings sums to 0.0; cartesian lengths ignore latlon scaling
+    (reference tests/test_breaking.py:352-421)."""
+    from xcontour_tpu.host import contour_lengths as host_lengths
+
+    y, x, r = _circle_field(201)
+    got = host_lengths(r, [0.6, 99.0], dims=(y, x), latlon=False)
+    np.testing.assert_allclose(got[0], 2 * np.pi * 0.6, rtol=5e-4)
+    assert got[1] == 0.0
+
+
+def test_df_contours_tabulates_pieces():
+    """df_contours: single array and list-of-pieces forms both yield a
+    lon/lat DataFrame (reference tests/test_breaking.py:236-255; the
+    reference's list branch is dead code — intended semantics here)."""
+    from xcontour_tpu.host import df_contours
+
+    a = np.array([[10.0, 50.0], [20.0, 55.0]])
+    b = np.array([[30.0, 60.0]])
+    df = df_contours(a)
+    assert list(df.columns) == ["lon", "lat"]
+    np.testing.assert_array_equal(df["lon"].to_numpy(), [10.0, 20.0])
+    np.testing.assert_array_equal(df["lat"].to_numpy(), [50.0, 55.0])
+
+    df2 = df_contours([a, b])
+    assert len(df2) == 3
+    np.testing.assert_array_equal(df2["lat"].to_numpy(), [50.0, 55.0, 60.0])
+
+    df3 = df_contours([])
+    assert len(df3) == 0

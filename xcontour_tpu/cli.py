@@ -557,7 +557,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                              "lower"),
                     help="W+/W- region selection (Huang-Nakamura 2016): "
                          "'cyclone' = the reference's 'upper' (W+), "
-                         "'anticyclone' = 'lower' (W-); the reference names "
+                         "'anticyclone' = 'lower' (W-) — these aliases "
+                         "assume the NH / PV-like sign convention (tracer "
+                         "increasing poleward); for SH relative vorticity "
+                         "or reversed conventions the physical labels swap, "
+                         "so prefer the exact 'upper'/'lower' names, which "
                          "are accepted verbatim")
     pl.add_argument("--lwa-method", choices=("auto", "lin", "dense", "fast"),
                     default="auto", help="execution path (docs/API.md)")

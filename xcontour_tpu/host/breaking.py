@@ -167,6 +167,25 @@ def single_contour(contours: List[np.ndarray], lon: np.ndarray,
     return contours[int(np.argmax(coverage))]
 
 
+def df_contours(contours):
+    """Tabulate a contour (or list of contour pieces) as a pandas DataFrame
+    with columns ``lon``/``lat`` (reference ``df_contours``,
+    tests/test_breaking.py:236-255).
+
+    The reference's list branch is dead code (it compares ``type(...)`` to
+    the *string* ``"list"``), so lists crash there; here the intended
+    semantics — chain the pieces, then tabulate — actually runs.
+    """
+    import pandas as pd
+    if isinstance(contours, list):
+        temp = np.concatenate([np.asarray(c, np.float64) for c in contours],
+                              axis=0) if contours else np.empty((0, 2))
+    else:
+        temp = np.asarray(contours, np.float64)
+    return pd.DataFrame({"lon": temp[:, 0].tolist(),
+                         "lat": temp[:, 1].tolist()})
+
+
 def breaking_contour(data: np.ndarray, lat: np.ndarray, lon: np.ndarray,
                      level: float, y_overlap: float = 1.0,
                      x_extent: float = 1.0, snap: bool = True) -> np.ndarray:

@@ -36,27 +36,71 @@ def find_contour(data, dims: Optional[Sequence] = None, level: float = 0.0,
 
     data : 2-D array (Ny, Nx) (NaN = missing);
     dims : (ydef, xdef) coordinate vectors, or None for index coordinates;
-    period : optional per-dim periods passed to the index->coordinate
-        interpolation (e.g. (None, 360) for global longitude).
+    period : optional per-dim coordinate periods (e.g. ``(None, 360)`` for
+        global longitude).  A periodic axis is wrapped by one row/column
+        before marching squares, so a contour crossing the 0/360 seam is
+        traversed through the seam cells instead of being cut open there;
+        vertices landing in the wrap column map to ``coord[0] + period``.
 
     Returns a list of (K, 2) arrays with columns (y, x), like the reference's
-    ``find_contour`` (segments in coordinate units).
+    ``find_contour`` (segments in coordinate units; usage
+    /root/reference/tests/test_breaking.py:412-421,
+    /root/reference/tests/test_clength.py:615-630).
+
+    Note: the reference's script-level composition feeds ``period`` straight
+    to np.interp over *index* space, where it silently reorders the abscissa
+    whenever the grid is longer than the period — here the period acts on the
+    coordinate values, which is the semantics the scripts intend.
     """
     d = np.asarray(data, np.float64)
+    py, px = period[0], period[1]
+    if dims is None and (py is not None or px is not None):
+        raise ValueError("period= requires coordinate dims")
+    if px is not None:
+        d = np.concatenate([d, d[:, :1]], axis=1)
+    if py is not None:
+        d = np.concatenate([d, d[:1, :]], axis=0)
     segs = find_contours(d, float(level))
     if dims is None:
         return segs
     ydef = np.asarray(dims[0], np.float64)
     xdef = np.asarray(dims[1], np.float64)
+    if py is not None:
+        ydef = np.append(ydef, ydef[0] + float(py))
+    if px is not None:
+        xdef = np.append(xdef, xdef[0] + float(px))
     yidx = np.arange(ydef.size)
     xidx = np.arange(xdef.size)
     out = []
     for seg in segs:
-        ypos = (np.interp(seg[:, 0], yidx, ydef) if period[0] is None
-                else np.interp(seg[:, 0], yidx, ydef, period=period[0]))
-        xpos = (np.interp(seg[:, 1], xidx, xdef) if period[1] is None
-                else np.interp(seg[:, 1], xidx, xdef, period=period[1]))
+        ypos = np.interp(seg[:, 0], yidx, ydef)
+        xpos = np.interp(seg[:, 1], xidx, xdef)
         out.append(np.c_[ypos, xpos])
+    return out
+
+
+def contour_lengths(data, contours, dims: Sequence = (None, None),
+                    latlon: bool = True,
+                    period: Sequence = (None, None)) -> np.ndarray:
+    """Per-level total contour length in coordinate space — the reference's
+    script-level composed helper (``contour_lengths`` at
+    /root/reference/tests/test_breaking.py:352-421): for each level in
+    ``contours``, marching-squares extraction mapped onto the ``dims``
+    coordinates (periodic wrap per ``period``), then the sum of 1-arg
+    ``contour_length`` over the pieces.
+
+    data : 2-D (Ny, Nx); dims : (ydef, xdef) coordinate vectors;
+    latlon : haversine x Rearth (degrees in) vs planar hypot;
+    period : per-dim coordinate periods, see :func:`find_contour`.
+
+    Matches the reference observable: a level with no contour yields 0.0
+    (``sum([])``); a degenerate single-vertex piece yields NaN.
+    """
+    levels = np.atleast_1d(np.asarray(contours, np.float64))
+    out = np.empty(levels.shape, np.float64)
+    for i, c in enumerate(levels):
+        segs = find_contour(data, dims, float(c), period=period)
+        out[i] = sum(contour_length(seg, latlon=latlon) for seg in segs)
     return out
 
 

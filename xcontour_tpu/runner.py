@@ -129,7 +129,16 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
             if pending[0] != k:
                 log(f"[runner] chunk {k + 1}/{nchunk}: exists, skipped")
                 continue
-            dev, nvalid = pending[1].result()
+            # a prefetch-thread read failure (transient disk/HDF5 error on
+            # the NOW-LAZY inputs) must flow through the SAME retries +
+            # on_error machinery as a compute failure — not abort the
+            # archive run at .result()
+            dev, nvalid = None, nvalid_of(k)
+            try:
+                dev, nvalid = pending[1].result()
+            except Exception as e:  # noqa: BLE001 — re-read under retries
+                log(f"[runner] chunk {k + 1}/{nchunk}: prefetch read "
+                    f"failed ({e}); re-reading under the retry policy")
             nxt = next_todo(k + 1)
             pending = (nxt, pool.submit(chunk_array, nxt)) \
                 if nxt is not None else (None, None)
@@ -138,6 +147,11 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
             out_np, last_err = None, None
             for a in range(retries + 1):
                 try:
+                    if dev is None:  # prefetch (or a prior re-read) failed;
+                        # go through the pool: the source must only ever be
+                        # touched by one thread (h5py), and the worker may
+                        # already be prefetching chunk k+1
+                        dev, nvalid = pool.submit(chunk_array, k).result()
                     out_np = attempt(dev, nvalid)
                     break
                 except Exception as e:  # noqa: BLE001 — isolate any failure

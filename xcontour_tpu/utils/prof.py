@@ -35,15 +35,17 @@ def annotate(name: str):
 
 
 def _force(out) -> None:
-    """Actually wait for device work: fetch one element of one output.
+    """Actually wait for device work: fetch one element of EVERY output leaf.
 
     ``jax.block_until_ready`` returns at enqueue time through this image's
-    remote runtime; a host fetch cannot."""
+    remote runtime; a host fetch cannot.  All leaves are fetched (not just
+    the first) so a callable composed of several independent dispatches is
+    fully drained before the timer stops; the extra fetches are one element
+    each."""
     import numpy as np
-    leaves = [x for x in jax.tree_util.tree_leaves(out)
-              if hasattr(x, "dtype")]
-    if leaves:
-        np.asarray(jax.numpy.ravel(leaves[0])[:1])
+    for x in jax.tree_util.tree_leaves(out):
+        if hasattr(x, "dtype"):
+            np.asarray(jax.numpy.ravel(x)[:1])
 
 
 @dataclass
