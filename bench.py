@@ -335,6 +335,37 @@ def _kernel_time_best(kernel_of_x, x0, passes=3, inner_lo=2, inner_hi=10,
     return ub if slope <= 0 else min(slope, ub)
 
 
+def vpu_probe(batch=32, Ny=256, Nx=512, iters=256):
+    """Fixed in-window VPU calibration: measured slots/s on THIS chip RIGHT
+    NOW.  The probe iterates x <- a*x - x*x (one FMA-as-1-slot multiply-add
+    plus one multiply = 2 slots per element-iteration) on a VMEM-resident f32
+    block; the recurrence is quadratic, so XLA cannot collapse the chain the
+    way it would an affine one, and with Ny*Nx independent elements the VPU
+    pipelines are full.  Its measured rate is the same-window denominator
+    for each VPU kernel's pct_of_measured_ceiling — the analogue of the
+    stencil's pallas-copy ceiling — so kernel-quality claims separate from
+    chip contention (observed ~2x swings between windows on this shared
+    chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    x0 = jnp.asarray(
+        np.random.default_rng(5).uniform(0.1, 0.2, (batch, Ny, Nx)),
+        jnp.float32)
+
+    def body(x):
+        a = jnp.float32(1.0000001)
+        for _ in range(iters):
+            x = a * x - x * x
+        return x
+
+    t = _kernel_time_best(body, x0, inner_lo=1, inner_hi=3, reps=8)
+    ops = batch * Ny * Nx * iters * 2
+    return dict(slots_per_s=ops / t, t=t,
+                model=f"B*Ny*Nx*{iters} iters * 2 slots (FMA + mul), "
+                      "quadratic recurrence (not XLA-collapsible)")
+
+
 def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     """Per-Pallas-kernel device time + achieved fraction of the binding
     v5e ceiling, on the real snapshot data.  Op-count models are stated in
@@ -467,23 +498,44 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
                f"{OPS_PER_CELL_LEVEL} ops (measured-active-block)"),
         ops=ops, t=t, achieved_tops=round(ops / t / 1e12, 2), bound="VPU")
 
+    # same-window measured VPU ceiling: the fixed probe's demonstrated
+    # slot rate.  Every VPU kernel reports pct_of_measured_ceiling against
+    # it — the exact analogue of the stencil's pct_of_copy_ceiling — so a
+    # congested window deflates kernel rate and denominator together and
+    # the quality claim survives contention.
+    probe = vpu_probe(batch=batch, Ny=Ny, Nx=Nx)
+
     # self-calibrating ceilings (see docstring): never report > 100%
-    vpu_ceiling = max(VPU_OPS, max(e["ops"] / e["t"] for e in out.values()
-                                   if e["bound"] == "VPU"))
+    vpu_ceiling = max([VPU_OPS, probe["slots_per_s"]]
+                      + [e["ops"] / e["t"] for e in out.values()
+                         if e["bound"] == "VPU"])
     hbm_ceiling = max(HBM_BW, bts / t_sten, bts / t_copy)
     for e in out.values():
         if e["bound"] == "VPU":
             e["pct_roofline"] = round(100 * e["ops"] / e["t"] / vpu_ceiling, 1)
+            e["pct_of_measured_ceiling"] = round(
+                100 * e["ops"] / e["t"] / probe["slots_per_s"], 1)
             del e["t"]
         else:
             e["pct_roofline"] = round(100 * e["bytes"] / e["t"] / hbm_ceiling,
                                       1)
+            e["pct_of_measured_ceiling"] = e["pct_of_copy_ceiling"]
             del e["t"], e["bytes"]
     out["ceilings"] = dict(
         vpu_slots_per_s=vpu_ceiling, hbm_bytes_per_s=hbm_ceiling,
-        note=("max(v5e spec, fastest rate demonstrated in this run); "
-              "demonstrated rates are evidence of the real ceiling on this "
-              "shared chip, and keep every pct_roofline <= 100"))
+        vpu_probe_slots_per_s=round(probe["slots_per_s"], -9),
+        vpu_probe_model=probe["model"],
+        note=("pct_roofline: max(v5e spec, fastest rate demonstrated in "
+              "this run) — never > 100.  pct_of_measured_ceiling: the "
+              "same-window measured denominator (VPU probe / pallas copy), "
+              "contention-normalized, may legitimately exceed 100 when a "
+              "kernel out-runs the probe's demonstrated rate."))
+    # contention index for the history ledger: in-window copy bandwidth and
+    # VPU probe rate — reruns compare these to tell a code regression from
+    # a congested window
+    out["contention"] = dict(
+        copy_gbps=round(bts / t_copy / 1e9, 1),
+        vpu_probe_tslots=round(probe["slots_per_s"] / 1e12, 2))
     return out
 
 
@@ -846,8 +898,9 @@ def main(argv=None):
         json.dump(details, f, indent=1)
 
     compact_kernels = {
-        k: {"ms": v["ms"], "pct_roofline": v["pct_roofline"]}
-        for k, v in kernels.items() if k != "ceilings"}
+        k: {"ms": v["ms"], "pct_roofline": v["pct_roofline"],
+            "pct_meas": v["pct_of_measured_ceiling"]}
+        for k, v in kernels.items() if k not in ("ceilings", "contention")}
     line = {
         "metric": METRIC,
         "value": round(sps, 1),
@@ -856,6 +909,7 @@ def main(argv=None):
         "baselines": {"oracle_f64_sps": round(oracle, 3),
                       "numpy_fast_f32_sps": round(fast, 3),
                       "vs_numpy_fast": round(sps / fast, 2)},
+        "contention": kernels["contention"],
         "kernels": compact_kernels,
         "mode": details["mode"],
         "details": "BENCH_DETAILS.json",
@@ -869,8 +923,27 @@ def main(argv=None):
         line["era5_sps"] = workloads["era5_keff_lwa_sps"]
         line["year_pv_s"] = workloads["year_pv_s"]
     line["adjoint_sps"] = adjoint["grad_sps"]
+    # append-only run ledger: one row per bench invocation, committed to
+    # git, so cross-round headline claims are falsifiable — a regression
+    # shows a dropped headline at UNCHANGED contention index; a congested
+    # window drops both together (round-3 verdict item 1)
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_HISTORY.jsonl")
+    hist_row = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+        "headline_sps": round(sps, 1),
+        "contention": kernels["contention"],
+        "kernel_ms": {k: v["ms"] for k, v in compact_kernels.items()},
+        "pct_meas": {k: v["pct_meas"] for k, v in compact_kernels.items()},
+        "adjoint_sps": adjoint["grad_sps"],
+        "oracle_sps": round(oracle, 3),
+        "mode": details["mode"], "batch": batch,
+    }
+    with open(hist_path, "a") as f:
+        f.write(json.dumps(hist_row) + "\n")
+
     out = json.dumps(line)
-    assert len(out) < 1500, f"compact line grew to {len(out)} bytes"
+    assert len(out) < 1600, f"compact line grew to {len(out)} bytes"
     print(out)
 
 

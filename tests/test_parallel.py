@@ -343,3 +343,89 @@ def test_sharded_stencil_honors_bc_and_nonperiodic(mesh, rng):
         got = sharded_squared_gradient(q, grid, mesh)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-12, atol=1e-15, err_msg=bc)
+
+
+class _FakeDev:
+    def __init__(self, i, proc):
+        self.id = i
+        self.process_index = proc
+
+    def __repr__(self):
+        return f"d{self.id}@p{self.process_index}"
+
+
+def test_hybrid_device_array_topology():
+    """The factored multi-slice placement: 2 DCN slices x 4 devices, any
+    x_size — every ICI ('x') row stays within ONE slice and slices stack
+    along the batch axis in slice order (round-3 verdict item 4)."""
+    from xcontour_tpu.parallel.mesh import hybrid_device_array
+
+    devs = [_FakeDev(i, i // 4) for i in range(8)]
+
+    arr = hybrid_device_array(devs, x_size=4)
+    assert arr.shape == (2, 4)
+    assert [d.process_index for d in arr[0]] == [0] * 4
+    assert [d.process_index for d in arr[1]] == [1] * 4
+    assert [d.id for d in arr.ravel()] == list(range(8))
+
+    arr2 = hybrid_device_array(devs, x_size=2)
+    assert arr2.shape == (4, 2)
+    for row in arr2:
+        assert len({d.process_index for d in row}) == 1  # no DCN in 'x'
+    assert [d.process_index for d in arr2[:, 0]] == [0, 0, 1, 1]
+
+    # interleaved enumeration order must not leak across slices either
+    shuffled = [devs[i] for i in (3, 4, 0, 7, 1, 5, 2, 6)]
+    arr3 = hybrid_device_array(shuffled, x_size=2)
+    for row in arr3:
+        assert len({d.process_index for d in row}) == 1
+    assert [d.process_index for d in arr3[:, 0]] == [0, 0, 1, 1]
+
+    # 4 slices x 2 devices, x_size=2: one ICI row per slice
+    devs4 = [_FakeDev(i, i // 2) for i in range(8)]
+    arr4 = hybrid_device_array(devs4, x_size=2)
+    assert arr4.shape == (4, 2)
+    assert [d.process_index for d in arr4[:, 0]] == [0, 1, 2, 3]
+
+    with pytest.raises(ValueError, match="uneven"):
+        hybrid_device_array([_FakeDev(0, 0), _FakeDev(1, 0),
+                             _FakeDev(2, 1)], x_size=1)
+    with pytest.raises(ValueError, match="divisible"):
+        hybrid_device_array(devs, x_size=3)
+
+
+def test_hybrid_mesh_multislice_on_virtual_devices(rng):
+    """The multi-slice make_hybrid_mesh branch EXECUTES on the virtual
+    8-CPU mesh: slice_of attributes devices to 2 fake DCN islands, the mesh
+    comes out (4, 2) with pure-slice ICI rows, and the combined pipeline
+    sharded over it matches the unsharded result."""
+    import jax
+    import jax.numpy as jnp
+    from xcontour_tpu.parallel import make_hybrid_mesh, shard_batch_spec
+    from xcontour_tpu import grid as G
+    from xcontour_tpu.pipeline import keff_lwa_pipeline
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    hm = make_hybrid_mesh(x_size=2, slice_of=lambda d: d.id // 4)
+    assert hm.devices.shape == (4, 2)
+    for row in hm.devices:
+        assert len({d.id // 4 for d in row}) == 1     # 'x' never crosses DCN
+    assert [d.id // 4 for d in hm.devices[:, 0]] == [0, 0, 1, 1]
+
+    Ny, Nx = 16, 32
+    grid = G.from_latlon(np.linspace(-75, 75, Ny), np.arange(Nx) * 11.25,
+                         dtype=jnp.float64)
+    t = jnp.asarray(np.cumsum(rng.normal(size=(8, Ny, Nx)), axis=1))
+    want = keff_lwa_pipeline(t, grid, N=7, increase=True, lt=True,
+                             lmin="analytic")
+    ts = jax.device_put(t, shard_batch_spec(hm, t.ndim))
+    got = keff_lwa_pipeline(ts, grid, N=7, increase=True, lt=True,
+                            lmin="analytic")
+    np.testing.assert_allclose(np.asarray(got["nkeff"]),
+                               np.asarray(want["nkeff"]),
+                               rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(got["lwa"]),
+                               np.asarray(want["lwa"]),
+                               rtol=1e-12, atol=1e-12, equal_nan=True)

