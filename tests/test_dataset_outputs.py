@@ -18,7 +18,11 @@ from xcontour_tpu.utils.ncio import load_dataset
 
 
 @pytest.fixture(scope="module")
-def case(rng):
+def case():
+    # module-scoped: cannot use the (function-scoped, node-id-seeded) rng
+    # fixture — derive the module's own deterministic stream instead
+    import zlib
+    rng = np.random.default_rng(zlib.crc32(__name__.encode()))
     lat = np.linspace(-80, 80, 24)
     lon = np.linspace(0, 350, 36)
     grid = G.from_latlon(lat, lon, dtype=jnp.float64)
