@@ -206,7 +206,10 @@ def _load_field(args):
     metadata are read eagerly; snapshot data is read per chunk."""
     if args.batch < 1:
         raise SystemExit(f"--batch must be >= 1, got {args.batch}")
-    ds = load_dataset(args.input, lazy=True)
+    try:
+        ds = load_dataset(args.input, lazy=True)
+    except (ValueError, FileNotFoundError, OSError) as e:
+        raise SystemExit(f"cannot open {args.input}: {e}") from None
     lon_n, lat_n = _detect_dims(ds, _parse_kv(args.dims, "--dims"))
     var = _pick_var(ds, args.var, lat_n, lon_n)
     vdims = list(ds.dims_of(var))
@@ -616,7 +619,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                      "anticyclone": "lower"}.get(args.part, args.part)
 
     if args.cmd == "info":
-        ds = load_dataset(args.input, lazy=True)  # shapes only, no reads
+        try:
+            ds = load_dataset(args.input, lazy=True)  # shapes only, no reads
+        except (ValueError, FileNotFoundError, OSError) as e:
+            raise SystemExit(f"cannot open {args.input}: {e}") from None
         for name in sorted(ds.variables):
             a = ds.variables[name]
             print(f"{name}  dims={ds.dims_of(name)}  shape={a.shape}  "

@@ -37,6 +37,18 @@ def _failed_path(out_stem: str, k: int) -> str:
     return f"{out_stem}_ck{k:05d}.failed"
 
 
+def _read_marker(path: str) -> dict:
+    """Read a .failed record; a damaged marker names itself and its repair
+    instead of surfacing a bare JSONDecodeError."""
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(
+            f"failure marker {path} is unreadable ({e!r}); delete it and "
+            "re-run run_batched(..., resume=True)") from e
+
+
 def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
                 snapshots: np.ndarray, batch: int = 32,
                 out_stem: Optional[str] = None,
@@ -228,15 +240,15 @@ def load_chunks(out_stem: str, allow_failed: bool = False,
     reassembled time axis.
     """
     import glob
-    files = sorted(glob.glob(f"{out_stem}_ck*.npz"))
+    # a process killed mid-write leaves `*_ck*.npz.tmp.npz` (os.replace makes
+    # the real chunk atomic) — in-flight litter, not data
+    files = sorted(f for f in glob.glob(f"{out_stem}_ck*.npz")
+                   if not f.endswith(".tmp.npz"))
     markers = sorted(glob.glob(f"{out_stem}_ck*.failed"))
     if not files and not markers:
         raise FileNotFoundError(f"no chunks matching {out_stem}_ck*.npz")
     if markers and not allow_failed:
-        detail = []
-        for m in markers:
-            with open(m) as f:
-                detail.append(json.load(f))
+        detail = [_read_marker(m) for m in markers]
         raise RuntimeError(
             f"{len(markers)} failed chunk(s) under {out_stem}: {detail}; "
             "re-run run_batched(..., resume=True) to retry them or pass "
@@ -248,12 +260,20 @@ def load_chunks(out_stem: str, allow_failed: bool = False,
 
     chunks: Dict[int, Optional[Dict[str, np.ndarray]]] = {}
     nvalid: Dict[int, int] = {}
+    # a corrupt/truncated chunk file must not surface as a zipfile/pickle
+    # traceback: name the file and the repair (.npz writes are atomic via
+    # os.replace, so this only happens to externally damaged files)
     for f in files:
-        with np.load(f) as z:
-            chunks[_index(f)] = {k: z[k] for k in z.files}
+        try:
+            with np.load(f) as z:
+                chunks[_index(f)] = {k: z[k] for k in z.files}
+        except Exception as e:  # noqa: BLE001 — any unreadable chunk
+            raise RuntimeError(
+                f"checkpoint chunk {f} is corrupt or unreadable ({e!r}); "
+                "delete it and re-run run_batched(..., resume=True) to "
+                "regenerate it") from e
     for m in markers:
-        with open(m) as fh:
-            rec = json.load(fh)
+        rec = _read_marker(m)
         if rec["chunk"] not in chunks:
             chunks[rec["chunk"]] = None
             nvalid[rec["chunk"]] = rec["nvalid"]

@@ -161,8 +161,16 @@ def load_dataset(path: str, lazy: bool = False) -> Dataset:
     mode).  The open file handle lives as long as the returned Dataset."""
     try:
         return _load_h5(path, lazy)
-    except OSError:
-        return _load_nc3(path, lazy)
+    except OSError as e_h5:
+        try:
+            return _load_nc3(path, lazy)
+        except Exception as e_nc3:  # noqa: BLE001 — scipy raises TypeError
+            # on garbage; surface one clear error naming both readers
+            # instead of scipy's bare "not a valid NetCDF 3 file"
+            raise ValueError(
+                f"{path} is not a readable netCDF file "
+                f"(HDF5/netCDF-4 reader: {e_h5}; classic netCDF-3 reader: "
+                f"{e_nc3})") from e_nc3
 
 
 def save_dataset(path: str, variables: Dict[str, np.ndarray], dims: Dict[str, Tuple[str, ...]],
