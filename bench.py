@@ -335,17 +335,20 @@ def _kernel_time_best(kernel_of_x, x0, passes=3, inner_lo=2, inner_hi=10,
     return ub if slope <= 0 else min(slope, ub)
 
 
-def vpu_probe(batch=32, Ny=256, Nx=512, iters=256):
+def vpu_probe(batch=32, Ny=256, Nx=512, iters=128, chains=8):
     """Fixed in-window VPU calibration: measured slots/s on THIS chip RIGHT
-    NOW.  The probe iterates x <- a*x - x*x (one FMA-as-1-slot multiply-add
-    plus one multiply = 2 slots per element-iteration) on a VMEM-resident f32
-    block; the recurrence is quadratic, so XLA cannot collapse the chain the
-    way it would an affine one, and with Ny*Nx independent elements the VPU
-    pipelines are full.  Its measured rate is the same-window denominator
-    for each VPU kernel's pct_of_measured_ceiling — the analogue of the
-    stencil's pallas-copy ceiling — so kernel-quality claims separate from
-    chip contention (observed ~2x swings between windows on this shared
-    chip)."""
+    NOW.  The probe iterates ``chains`` INDEPENDENT quadratic recurrences
+    x_i <- a*x_i - x_i*x_i (FMA-as-1-slot + multiply = 2 slots per
+    element-iteration) on a VMEM-resident f32 block.  Quadratic, so XLA
+    cannot collapse the chain the way it would an affine one; independent
+    chains so the VPU pipelines stay FULL — a single chain is
+    latency-bound at ~0.75 Tslots/s (measured), while 8 interleaved chains
+    sustain ~3.8 Tslots/s ~= the 3.85 T spec on this chip (measured ladder:
+    2 chains 1.5 T, 4 chains 3.2 T, 8 chains 3.8 T flat from 64 to 128
+    iters).  Its measured rate is the same-window denominator for each VPU
+    kernel's pct_of_measured_ceiling — the analogue of the stencil's
+    pallas-copy ceiling — so kernel-quality claims separate from chip
+    contention (observed ~2x swings between windows on this shared chip)."""
     import jax
     import jax.numpy as jnp
 
@@ -355,15 +358,17 @@ def vpu_probe(batch=32, Ny=256, Nx=512, iters=256):
 
     def body(x):
         a = jnp.float32(1.0000001)
+        xs = [x * jnp.float32(1 + 0.01 * i) for i in range(chains)]
         for _ in range(iters):
-            x = a * x - x * x
-        return x
+            xs = [a * y - y * y for y in xs]
+        return sum(xs)
 
     t = _kernel_time_best(body, x0, inner_lo=1, inner_hi=3, reps=8)
-    ops = batch * Ny * Nx * iters * 2
+    ops = batch * Ny * Nx * iters * chains * 2
     return dict(slots_per_s=ops / t, t=t,
-                model=f"B*Ny*Nx*{iters} iters * 2 slots (FMA + mul), "
-                      "quadratic recurrence (not XLA-collapsible)")
+                model=f"B*Ny*Nx*{iters} iters * {chains} independent "
+                      "chains * 2 slots (FMA + mul), quadratic recurrences "
+                      "(not XLA-collapsible, pipeline-filling)")
 
 
 def kernel_rooflines(lat, lon, vor, batch=32, N=121):
@@ -766,8 +771,34 @@ def out_of_core(n_snap=4224):
     dt = time.perf_counter() - t0
     assert out["nkeff"].shape == (n_snap, 121)
     assert np.isfinite(out["nkeff"][:: n_snap // 7]).any()
+
+    # the one lever this tunnel-bound path leaves: halve the wire format
+    # (runner transfer_dtype) and measure both the speedup and the accuracy
+    # cost on the same archive slice
+    n16 = min(n_snap, 128)
+    t0 = time.perf_counter()
+    o16 = run_batched(jstep, _LazyEra5Archive(n16, base), batch=32,
+                      log=lambda s: None, transfer_dtype=np.float16)
+    dt16 = time.perf_counter() - t0
+    ya, yb = out["Yeq"][:n16], o16["Yeq"]
+    fin = np.isfinite(ya) & np.isfinite(yb)
+    yeq_max_deg = float(np.abs(ya[fin] - yb[fin]).max())
+    la, lb = out["lwa_zm"][:n16], o16["lwa_zm"]
+    lfin = np.isfinite(la) & np.isfinite(lb)
+    lwa_rel = float(np.abs(la[lfin] - lb[lfin]).max()
+                    / max(np.abs(la[lfin]).max(), 1e-30))
     return dict(snapshots=n_snap, input_gib=round(gib, 2),
                 wall_s=round(dt, 1), sps=round(n_snap / dt, 1),
+                f16_transfer=dict(
+                    snapshots=n16, sps=round(n16 / dt16, 1),
+                    speedup=round((n16 / dt16) / (n_snap / dt), 2),
+                    yeq_max_err_deg=yeq_max_deg,
+                    lwa_zonal_mean_max_rel_err=lwa_rel,
+                    note="same archive via transfer_dtype=f16 (wire "
+                         "halved, device upcasts to f32 before compute); "
+                         "errors are INPUT-rounding propagation vs the f32 "
+                         "stream, opt-in via runner transfer_dtype / CLI "
+                         "--transfer"),
                 note="721x1440 f32 archive streamed in 32-snapshot chunks "
                      "with overlapped transfers; outputs fetched per chunk; "
                      "rate is tunnel-bound in this image (~16 MB/s "

@@ -187,6 +187,106 @@ def test_contour2d_check_mono_unified():
     c2.cal_integral_within_contours(ctr)  # silent
 
 
+def test_packed_fetch_bit_identical(rng):
+    """The round-trip-saving packed fetch (one device->host transfer per
+    (dtype, batch) group) returns exactly what per-key np.asarray would,
+    across mixed dtypes, ranks, and an unbatchable scalar."""
+    from xcontour_tpu.runner import _fetch_packed
+    x = rng.normal(size=(6, 4, 8)).astype(np.float32)
+
+    def step(t):
+        return {"a": jnp.mean(t, axis=(-2, -1)),            # (6,)
+                "b": t * 2,                                 # (6, 4, 8)
+                "c": jnp.argmax(t.reshape(6, -1), axis=1),  # (6,) int
+                "s": jnp.sum(t)}                            # scalar
+
+    out = jax.jit(step)(jnp.asarray(x))
+    got = _fetch_packed(out)
+    for k, v in out.items():
+        np.testing.assert_array_equal(got[k], np.asarray(v))
+        assert got[k].dtype == np.asarray(v).dtype
+        assert got[k].shape == np.asarray(v).shape
+
+
+# ---------------------------------------------------------------------------
+# reduced-precision host->device transfers (tunnel-bound streaming lever)
+# ---------------------------------------------------------------------------
+def test_transfer_dtype_f16_bounded_error(rng):
+    """transfer_dtype='float16' halves the wire payload; outputs stay within
+    the f16 INPUT-rounding bound (~5e-4 relative) of the f32 run — and the
+    device still computes in f32 (the result is not bitwise-f16-coarse)."""
+    snaps = rng.normal(size=(8, 16, 32)).astype(np.float32)
+    f32 = run_batched(jax.jit(_step), snaps, batch=4, log=lambda s: None)
+    f16 = run_batched(jax.jit(_step), snaps, batch=4, log=lambda s: None,
+                      transfer_dtype=np.float16)
+    assert not np.array_equal(f16["mean"], f32["mean"])     # really narrowed
+    np.testing.assert_allclose(f16["mean"], f32["mean"], rtol=0, atol=2e-3)
+    np.testing.assert_allclose(f16["double"], f32["double"], rtol=2e-3)
+    # compute precision unchanged: doubled f16-rounded inputs are exactly
+    # representable, so 'double' must equal 2 * round_f16(x) bit-for-bit
+    np.testing.assert_array_equal(
+        f16["double"], 2.0 * snaps.astype(np.float16).astype(np.float32))
+
+
+def test_transfer_dtype_bf16(rng):
+    import jax.numpy as jnp
+    snaps = rng.normal(size=(4, 8, 16)).astype(np.float32)
+    out = run_batched(jax.jit(_step), snaps, batch=4, log=lambda s: None,
+                      transfer_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(out["mean"], snaps.mean(axis=(1, 2)),
+                               rtol=0, atol=2e-2)
+    assert out["mean"].dtype == np.float32                  # upcast held
+
+
+def test_transfer_dtype_must_narrow(rng):
+    snaps = rng.normal(size=(4, 8, 16)).astype(np.float32)
+    with pytest.raises(ValueError, match="not narrower"):
+        run_batched(jax.jit(_step), snaps, batch=4, log=lambda s: None,
+                    transfer_dtype=np.float32)
+
+
+def test_cli_transfer_flag(tmp_path, rng):
+    """--transfer f16 streams through the CLI end-to-end; results track the
+    f32 run within the input-rounding bound and a changed --transfer
+    invalidates a resume stem (it is a compute-relevant argument)."""
+    from xcontour_tpu import cli
+    from xcontour_tpu.utils.ncio import load_dataset, save_dataset
+    T, Ny, Nx = 4, 16, 24
+    lat = np.linspace(-60.0, 60.0, Ny)
+    lon = np.linspace(0.0, 345.0, Nx)
+    q = (np.sin(np.deg2rad(lat))[None, :, None]
+         + 0.2 * rng.standard_normal((T, Ny, Nx))).astype(np.float32)
+    path = str(tmp_path / "t.nc")
+    save_dataset(path, {"q": q}, {"q": ("time", "latitude", "longitude")},
+                 coords={"latitude": lat, "longitude": lon,
+                         "time": np.arange(T, dtype=np.int32)})
+    outs = {}
+    for mode in ("f32", "f16"):
+        out = str(tmp_path / f"o_{mode}.nc")
+        rc = cli.main(["keff", path, "--var", "q", "-N", "11", "--batch",
+                       "2", "--transfer", mode, "--out", out])
+        assert rc == 0
+        outs[mode] = load_dataset(out)
+    # Yeq is the robust (monotone-rearrangement) output: tight bound.
+    # nkeff's d/dA chain AMPLIFIES input rounding at weak-gradient contours
+    # (single elements can move ~20% under f16 inputs), so bound its error
+    # DISTRIBUTION — the same trade the docstring warns about.
+    ya, yb = outs["f32"]["Yeq"], outs["f16"]["Yeq"]
+    np.testing.assert_allclose(yb, ya, rtol=0, atol=1.0)    # degrees
+    a, b = outs["f32"]["nkeff"], outs["f16"]["nkeff"]
+    fin = np.isfinite(a) & np.isfinite(b)
+    assert fin.any() and not np.array_equal(a, b)
+    rel = np.abs(b[fin] - a[fin]) / np.maximum(np.abs(a[fin]), 1e-6)
+    assert np.median(rel) < 0.02 and rel.max() < 0.5
+
+    stem = str(tmp_path / "ck")
+    args = ["keff", path, "--var", "q", "-N", "11", "--batch", "2",
+            "--stem", stem, "--out", str(tmp_path / "s1.nc")]
+    assert cli.main(args + ["--transfer", "f16"]) == 0
+    with pytest.raises(SystemExit, match="different run"):
+        cli.main(args + ["--transfer", "bf16"])
+
+
 def test_load_chunks_detects_index_gap(tmp_path, rng):
     snaps = rng.normal(size=(10, 8, 16))
     stem = str(tmp_path / "gap")

@@ -430,12 +430,15 @@ def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
             if dead:
                 raise ValueError(f"chunk outputs {dead} entirely non-finite")
 
+    tdt = {"f32": None, "f16": np.float16,
+           "bf16": jnp.bfloat16}[getattr(args, "transfer", "f32")]
     if args.stem:
         _check_stem(args, tracer)
         runner.run_batched(jit_step, tracer, batch=args.batch,
                            out_stem=args.stem, resume=True,
                            retries=args.retries, on_error=args.on_error,
-                           sharding=sharding, validate=validate)
+                           sharding=sharding, validate=validate,
+                           transfer_dtype=tdt)
         out = runner.load_chunks(args.stem, allow_failed=True,
                                  expect_chunks=-(-tracer.shape[0]
                                                  // args.batch))
@@ -443,7 +446,8 @@ def _run(args, step, grid, tracer, lead_names, lead_shape, lead_coords,
         out = runner.run_batched(jit_step, tracer, batch=args.batch,
                                  retries=args.retries,
                                  on_error=args.on_error,
-                                 sharding=sharding, validate=validate)
+                                 sharding=sharding, validate=validate,
+                                 transfer_dtype=tdt)
 
     out = {k: np.asarray(v).reshape(lead_shape + np.asarray(v).shape[1:])
            for k, v in out.items()}
@@ -505,6 +509,13 @@ def _add_common(p: argparse.ArgumentParser, contours: bool = True):
                        help="integrate where tracer > level (default: <)")
     p.add_argument("--batch", type=int, default=32,
                    help="chunk size streamed per compiled step (default 32)")
+    p.add_argument("--transfer", choices=("f32", "f16", "bf16"),
+                   default="f32",
+                   help="host->device wire format for streamed chunks: "
+                        "'f16'/'bf16' halve the transfer and upcast on "
+                        "device (compute precision unchanged, INPUT rounded "
+                        "to ~5e-4 / ~4e-3 relative) — for when the link, "
+                        "not the chip, is the bottleneck")
     p.add_argument("--mesh", metavar="N|BxX",
                    help="shard each chunk over an N-device ('batch','x') "
                         "jax mesh (GSPMD inserts the collectives); BxX "

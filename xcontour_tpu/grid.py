@@ -219,6 +219,10 @@ def from_metrics(ydef, xdef, dA, dxF=None, dyF=None, mask=None,
         dxF = jnp.ones_like(dA)
     if dyF is None:
         dyF = jnp.ones_like(dA)
+    # MITgcm squeezed slices carry 1-D distances (e.g. dxF on (XC,) for an
+    # X-Z plane); normalize to the plane shape so every consumer can index
+    dxF = jnp.broadcast_to(jnp.asarray(dxF, dtype), dA.shape)
+    dyF = jnp.broadcast_to(jnp.asarray(dyF, dtype), dA.shape)
     return Grid(
         ydef=jnp.asarray(ydef, dtype), xdef=jnp.asarray(xdef, dtype),
         dA=dA, dxF=jnp.asarray(dxF, dtype), dyF=jnp.asarray(dyF, dtype),

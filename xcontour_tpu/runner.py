@@ -49,6 +49,36 @@ def _read_marker(path: str) -> dict:
             "re-run run_batched(..., resume=True)") from e
 
 
+def _fetch_packed(out: Dict[str, jax.Array]) -> Dict[str, np.ndarray]:
+    """Fetch a dict of device outputs with as FEW device->host round-trips
+    as possible: every same-(dtype, batch) group is concatenated on device
+    into one flat array and fetched once.  Through this image's remote
+    tunnel a fetch costs ~0.4 s of fixed latency REGARDLESS of size, so a
+    step returning 9 small arrays pays ~3.6 s/chunk in pure round-trips
+    without packing.  Values are bit-identical to per-key fetches (the
+    device-side reshape/concatenate moves bytes, no arithmetic)."""
+    groups: Dict[object, list] = {}
+    for k, v in out.items():
+        if not hasattr(v, "ndim") or v.ndim == 0:
+            groups.setdefault(None, []).append(k)      # scalars: direct
+        else:
+            groups.setdefault((jnp.dtype(v.dtype), v.shape[0]), []).append(k)
+    res: Dict[str, np.ndarray] = {}
+    for g, ks in groups.items():
+        if g is None or len(ks) == 1:
+            for k in ks:
+                res[k] = np.asarray(out[k])
+            continue
+        B = g[1]
+        flats = [out[k].reshape(B, -1) for k in ks]
+        widths = [f.shape[1] for f in flats]
+        packed = np.asarray(jnp.concatenate(flats, axis=1))
+        offs = np.cumsum([0] + widths)
+        for k, lo, hi in zip(ks, offs[:-1], offs[1:]):
+            res[k] = packed[:, lo:hi].reshape(np.shape(out[k]))
+    return res
+
+
 def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
                 snapshots: np.ndarray, batch: int = 32,
                 out_stem: Optional[str] = None,
@@ -56,7 +86,8 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
                 retries: int = 0, on_error: str = "raise",
                 retry_wait: float = 0.25,
                 validate: Optional[Callable[[Dict[str, np.ndarray]], None]]
-                = None, sharding=None) -> Optional[Dict[str, np.ndarray]]:
+                = None, sharding=None,
+                transfer_dtype=None) -> Optional[Dict[str, np.ndarray]]:
     """Run ``step`` over ``snapshots`` (T, Ny, Nx) in fixed-size batches.
 
     With ``out_stem`` set, results are written per chunk and already-written
@@ -72,6 +103,17 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
     one host->shards transfer per chunk, never a second resharding copy on
     the compute path.
 
+    ``transfer_dtype`` (e.g. ``'float16'`` or ``jnp.bfloat16``) compresses
+    the host->device payload: chunks are cast on the host, transferred at
+    half width, and upcast back to the source dtype ON DEVICE before
+    ``step`` runs — compute precision is unchanged, only the wire format
+    narrows.  Opt-in because it rounds the INPUT (f16: 11 significand bits,
+    ~5e-4 relative; bf16: 8 bits, ~4e-3): use when the link is the
+    bottleneck (this image's tunnel moves ~16 MB/s) and the tracer's
+    information content is coarser than the mantissa loss — e.g.
+    re-gridded/compressed archives.  Measured error on the Keff+LWA chain
+    is recorded in BENCH_DETAILS.json ``out_of_core``.
+
     Failure handling: each chunk is attempted ``retries + 1`` times (with
     ``retry_wait * 2**attempt`` backoff).  ``validate(out_np)`` runs after
     each fetch and may raise to reject the chunk (e.g. NaN guards or a
@@ -81,6 +123,17 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    if transfer_dtype is not None:
+        wire = jnp.dtype(transfer_dtype)
+        full = np.dtype(getattr(snapshots, "dtype", np.float32))
+        if wire.itemsize >= full.itemsize:
+            raise ValueError(
+                f"transfer_dtype {wire} is not narrower than the source "
+                f"dtype {full}; compression would be a no-op")
+        user_step = step
+
+        def step(x):  # upcast ON DEVICE: compute precision is unchanged
+            return user_step(x.astype(full))
     T = snapshots.shape[0]
     nchunk = -(-T // batch)
     collected: List[Optional[Dict[str, np.ndarray]]] = []
@@ -98,11 +151,13 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
         if hi - lo < batch:  # pad the tail so the compiled shape is reused
             pad = np.repeat(arr[-1:], batch - (hi - lo), axis=0)
             arr = np.concatenate([arr, pad], axis=0)
+        if transfer_dtype is not None:  # narrow the wire format on the host
+            arr = arr.astype(transfer_dtype)
         return jax.device_put(arr, sharding), hi - lo
 
     def attempt(dev, nvalid):
         out = step(dev)
-        out_np = {key: np.asarray(v)[:nvalid] for key, v in out.items()}
+        out_np = {key: v[:nvalid] for key, v in _fetch_packed(out).items()}
         if validate is not None:
             validate(out_np)
         return out_np

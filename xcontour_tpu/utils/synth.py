@@ -17,18 +17,35 @@ import numpy as np
 from .constants import Rearth, omega
 
 
+# the recorded PV.nc level coordinate (notebooks/1.Keff_atmos.ipynb cell 1
+# output: "level (level) int32 265 275 285 300 315 330 ... 430 475 530 600
+# 700 850", 15 values — the standard ERA isentropic-surface ladder)
+ERA_THETA_LEVELS = np.array([265, 275, 285, 300, 315, 330, 350, 370, 395,
+                             430, 475, 530, 600, 700, 850], np.int32)
+
+
 def synth_pv(nlev: int = 7, nlat: int = 181, nlon: int = 360, seed: int = 1):
     """ERA-like isentropic PV snapshot: pv(level, latitude, longitude) +
-    grdSpv, levels 265-850 K (schema of Data/PV.nc, used by
-    notebooks/1.Keff_atmos.ipynb cells 0-1).
+    grdSpv, float32, on the recorded Data/PV.nc schema
+    (notebooks/1.Keff_atmos.ipynb cell 1 printed it: longitude float32
+    0.0..359.25 step 0.75 (480), latitude float32 -90..90 ascending (241),
+    level int32 = ERA_THETA_LEVELS (15)); smaller sizes keep the same
+    coordinate ranges/spacing rules and subsample the level ladder.  The
+    file's scalar datetime64 ``time`` coordinate is metadata only (no
+    workload reads it) and HDF5 cannot store datetime64, so it is omitted.
 
     The field is the classic wave-breaking surrogate: planetary-vorticity
     background 2*Omega*sin(lat) amplitude-modulated per level, stirred by a
     few zonal wavenumbers with level-dependent phase.
     """
     rng = np.random.default_rng(seed)
-    level = np.linspace(265.0, 850.0, nlev)
-    lat = np.linspace(-89.5, 89.5, nlat)
+    if nlev == len(ERA_THETA_LEVELS):
+        level = ERA_THETA_LEVELS.copy()
+    else:   # subsample the recorded ladder, keeping its range and int dtype
+        pos = np.linspace(0, len(ERA_THETA_LEVELS) - 1, nlev)
+        level = np.round(np.interp(pos, np.arange(len(ERA_THETA_LEVELS)),
+                                   ERA_THETA_LEVELS)).astype(np.int32)
+    lat = np.linspace(-90.0, 90.0, nlat)
     lon = np.linspace(0.0, 360.0 - 360.0 / nlon, nlon)
     phi = np.deg2rad(lat)[None, :, None]
     lam = np.deg2rad(lon)[None, None, :]
@@ -52,7 +69,8 @@ def synth_pv(nlev: int = 7, nlat: int = 181, nlon: int = 360, seed: int = 1):
     gy = np.gradient(pv, axis=-2) / dy
     grdSpv = gx ** 2 + gy ** 2
 
-    variables = dict(level=level, latitude=lat, longitude=lon,
+    variables = dict(level=level, latitude=lat.astype(np.float32),
+                     longitude=lon.astype(np.float32),
                      pv=pv.astype(np.float32), grdSpv=grdSpv.astype(np.float32))
     dims = dict(level=("level",), latitude=("latitude",), longitude=("longitude",),
                 pv=("level", "latitude", "longitude"),
@@ -62,22 +80,34 @@ def synth_pv(nlev: int = 7, nlat: int = 181, nlon: int = 360, seed: int = 1):
 
 def synth_internalwave(nt: int = 3, nz: int = 100, nx: int = 448,
                        seed: int = 2):
-    """MITgcm-like internal-wave x-z slices (schema of Data/internalwave.nc,
-    tests/test_LAPE.py:27-41): THETA(time, Z, XC), maskC, metrics.
+    """MITgcm-like internal-wave x-z slices on the Data/internalwave.nc
+    schema: the file was written by the reference's own
+    add_MITgcm_missing_metrics + squeeze (creation code recorded in
+    tests/test_LAPE.py:17-25), so it carries the COMPLETED metric set that
+    notebooks/3.LAPE_ocean.ipynb cell 1 declares to xgcm.Grid — X distances
+    dxG/dxF/dxC/dxV on (XC,), vertical drF on (Z,), partial-cell drW/drS/drC
+    = hFac*drF on (Z, XC) (reference utils.py:443-448), and the X-Z plane
+    area yA = drF*hFacC*dxF (utils.py:468-469) — plus THETA(time, Z, XC)
+    float32, maskC = (hFacC > 0), and the hFac fields themselves.
 
     x in [0, 8960] m, Z in (-200, 0); stable stratification displaced by a
     breaking internal wave of growing amplitude per snapshot, over a ridge
-    that masks the bottom cells.
+    whose partial bottom cells give genuine fractional hFacC.
     """
     rng = np.random.default_rng(seed)
     hgrid = 8960.0 / nx
+    dz = 200.0 / nz
     xc = (np.arange(nx) + 0.5) * hgrid
-    zc = -(np.arange(nz) + 0.5) * (200.0 / nz)        # 0 -> -200, decreasing
-    drF = np.full(nz, 200.0 / nz)
+    zc = -(np.arange(nz) + 0.5) * dz                  # 0 -> -200, decreasing
+    drF = np.full(nz, dz)
 
-    # ridge topography: bottom depth varies with x
+    # ridge topography: bottom depth varies with x; cells cut by the ridge
+    # keep the MITgcm fractional open thickness hFacC in (0, 1)
     depth = -200.0 + 60.0 * np.exp(-((xc - 5000.0) / 1200.0) ** 2)
-    maskC = (zc[:, None] > depth[None, :]).astype(np.float32)
+    ztop = -np.arange(nz) * dz                        # cell upper interfaces
+    hFacC = np.clip((ztop[:, None] - depth[None, :]) / dz, 0.0, 1.0) \
+        .astype(np.float32)
+    maskC = (hFacC > 0).astype(np.float32)
 
     T = np.empty((nt, nz, nx))
     for t in range(nt):
@@ -88,16 +118,34 @@ def synth_internalwave(nt: int = 3, nz: int = 100, nx: int = 448,
             + 0.02 * rng.standard_normal((nz, nx))
     T = np.where(maskC[None] > 0, T, 0.0)              # MITgcm zeros over rock
 
-    dxF = np.full((nz, nx), hgrid)
-    yA = drF[:, None] * maskC * dxF                    # partial-cell X-Z area
+    # staggered open fractions: west face = min of the adjacent centers
+    # (periodic X, as the reference run was), south face = center (the Y
+    # dimension was squeezed out of this 2-D slice)
+    hFacW = np.minimum(hFacC, np.roll(hFacC, 1, axis=-1)).astype(np.float32)
+    hFacS = hFacC.copy()
 
-    variables = dict(time=np.arange(nt, dtype=np.int32), Z=zc, XC=xc,
+    dxF = np.full(nx, hgrid)                           # (XC,) after squeeze
+    yA = drF[:, None] * hFacC * dxF[None, :]           # utils.py:468-469
+
+    f32 = lambda a: np.asarray(a, np.float32)
+    variables = dict(time=np.arange(nt, dtype=np.int32),
+                     Z=f32(zc), XC=f32(xc),
                      THETA=T.astype(np.float32), maskC=maskC,
-                     drF=drF.astype(np.float32), dxF=dxF.astype(np.float32),
-                     yA=yA.astype(np.float32), hFacC=maskC)
+                     hFacC=hFacC, hFacW=hFacW, hFacS=hFacS,
+                     drF=f32(drF),
+                     drW=f32(hFacW * drF[:, None]),    # utils.py:443-444
+                     drS=f32(hFacS * drF[:, None]),    # utils.py:445-446
+                     drC=f32(hFacC * drF[:, None]),    # utils.py:447-448
+                     dxF=f32(dxF), dxG=f32(dxF), dxC=f32(dxF),
+                     dxV=f32(dxF),                     # uniform grid
+                     yA=f32(yA))
     dims = dict(time=("time",), Z=("Z",), XC=("XC",),
-                THETA=("time", "Z", "XC"), maskC=("Z", "XC"), drF=("Z",),
-                dxF=("Z", "XC"), yA=("Z", "XC"), hFacC=("Z", "XC"))
+                THETA=("time", "Z", "XC"), maskC=("Z", "XC"),
+                hFacC=("Z", "XC"), hFacW=("Z", "XC"), hFacS=("Z", "XC"),
+                drF=("Z",), drW=("Z", "XC"), drS=("Z", "XC"),
+                drC=("Z", "XC"),
+                dxF=("XC",), dxG=("XC",), dxC=("XC",), dxV=("XC",),
+                yA=("Z", "XC"))
     return variables, dims
 
 
@@ -105,7 +153,11 @@ def synth_global_tracers(nt: int = 5, nlat: int = 160, nlon: int = 320,
                          seed: int = 3):
     """AVISO-stirred global tracers (schema of Data/globalTracers.nc,
     notebooks/4.ContourLength_ocean.ipynb cell 1): PTRACER01/04/07(time, YC,
-    XC) + maskC + dxF; tracers start zonal and get progressively stirred."""
+    XC) float32 on the (YC, XC) MITgcm horizontal plane, land stored as
+    exact 0 (the drivers re-mask with ``.where(PTRACER != 0)``,
+    tests/test_clength.py:307-313), time = [0, 90, 180, 270, 360] days (the
+    notebook assigns exactly these integers) + maskC + dxF; tracers start
+    zonal and get progressively stirred."""
     rng = np.random.default_rng(seed)
     lat = np.linspace(-75.0, 75.0, nlat)
     lon = np.linspace(0.0, 360.0 - 360.0 / nlon, nlon)
@@ -142,7 +194,8 @@ def synth_global_tracers(nt: int = 5, nlat: int = 160, nlon: int = 320,
     dxF = (np.cos(phi) * (lon[1] - lon[0]) * d2r * Rearth *
            np.ones((1, nlon))).astype(np.float32)
 
-    variables = dict(time=days, YC=lat, XC=lon, maskC=maskC, dxF=dxF, **out)
+    variables = dict(time=days.astype(np.int32), YC=lat.astype(np.float32),
+                     XC=lon.astype(np.float32), maskC=maskC, dxF=dxF, **out)
     dims = dict(time=("time",), YC=("YC",), XC=("XC",), maskC=("YC", "XC"),
                 dxF=("YC", "XC"),
                 **{k: ("time", "YC", "XC") for k in out})
