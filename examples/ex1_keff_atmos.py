@@ -52,6 +52,19 @@ def main():
     frac = np.isfinite(nkeff).mean()
     print("Keff finite fraction:", frac)
     assert frac > 0.5, "most per-level Keff values should be finite"
+    # golden pins: tolerance-banded values recorded from the committed
+    # fixture (deterministic synth seed) — a silent scale/sign regression
+    # fails here even though the plot would still render
+    _pin("nkeff_median", float(np.nanmedian(nkeff)), 2.935429, rtol=2e-3)
+    _pin("nkeff_max", float(np.nanmax(nkeff)), 13.66258, rtol=2e-3)
+
+
+def _pin(name, got, want, rtol):
+    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
+    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
+        return
+    assert want is not None and abs(got - want) <= rtol * abs(want), \
+        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":

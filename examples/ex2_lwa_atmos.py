@@ -57,6 +57,19 @@ def main():
     print("max LWA (m/s):", float(np.nanmax(lwa)))
     # reference notebook 2 scale: tens of m/s for this snapshot
     assert 20.0 < float(np.nanmax(lwa)) < 40.0
+    # golden pins on the bundled (committed) snapshot
+    _pin("lwa_max", float(np.nanmax(lwa)), 28.92108, rtol=2e-3)
+    _pin("lwa2_min", float(np.nanmin(lwa2)), -37.724, rtol=2e-3)
+    _pin("lwa_zonal_mean_peak", float(np.nanmax(np.nanmean(lwa, axis=1))),
+         9.942722, rtol=2e-3)
+
+
+def _pin(name, got, want, rtol):
+    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
+    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
+        return
+    assert want is not None and abs(got - want) <= rtol * abs(want), \
+        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":

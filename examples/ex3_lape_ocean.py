@@ -55,6 +55,18 @@ def main():
     print("LAPE >= 0 everywhere (to the f32 noise floor):", ok,
           f"(min {np.nanmin(lape):.2e}, floor {-floor:.2e})")
     assert ok, "LAPE must be positive-definite to the documented floor"
+    # golden pins (deterministic synth fixture): per-snapshot totals grow
+    # with the wave amplitude; the absolute scale is pinned
+    _pin("lape_total_t2", float(np.nansum(lape[2])), 9937.53, rtol=2e-3)
+    _pin("lape_max_t2", float(np.nanmax(lape[2])), 1.386638, rtol=2e-3)
+
+
+def _pin(name, got, want, rtol):
+    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
+    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
+        return
+    assert want is not None and abs(got - want) <= rtol * abs(want), \
+        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":

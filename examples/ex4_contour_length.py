@@ -63,6 +63,22 @@ def main():
     D = float(np.nanmedian(np.asarray(fr["D"])))
     print("median D:", D)
     assert 1.0 <= D < 2.0, "fractal dimension of a plane curve"
+    # golden pins on the bundled (committed) snapshot
+    _pin("D_median", D, 1.076456, rtol=2e-3)
+    sl = slice(10, -10)
+    ratio = (L / Lmin)[sl]
+    _pin("L_over_Lmin_median", float(np.nanmedian(ratio)), 1.194531,
+         rtol=2e-3)
+    _pin("L_median_km", float(np.nanmedian(L[sl])) / 1e3, 40700.6,
+         rtol=2e-3)
+
+
+def _pin(name, got, want, rtol):
+    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
+    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
+        return
+    assert want is not None and abs(got - want) <= rtol * abs(want), \
+        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":

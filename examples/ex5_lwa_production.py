@@ -72,6 +72,18 @@ def main():
           "dims(lwa):", ds.dims_of("lwa"))
     assert out["lwa"].shape == pv.shape and np.nanmax(out["lwa"]) > 0
     assert {"Q", "lwa", "lwa_norm"} <= set(ds.keys())
+    # golden pins (deterministic synth fixture + rng seed)
+    _pin("lwa_max", float(np.nanmax(out["lwa"])), 121836.2, rtol=2e-3)
+    _pin("lwa_norm_mean_abs", float(np.nanmean(np.abs(out["lwa_norm"]))),
+         0.2293725, rtol=2e-3)
+
+
+def _pin(name, got, want, rtol):
+    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
+    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
+        return
+    assert want is not None and abs(got - want) <= rtol * abs(want), \
+        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":

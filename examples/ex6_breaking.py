@@ -54,6 +54,19 @@ def main():
     print(f"selected contour: {len(main_contour)} pts, "
           f"{cover:.0%} longitude coverage")
     assert cover >= 0.99, "the circumpolar contour must span the globe"
+    # golden pins: the host extraction chain is float64 and deterministic
+    _pin("main_contour_pts", float(len(main_contour)), 421.0, rtol=2e-2)
+    _pin("main_contour_mean_lat", float(main_contour[:, 1].mean()),
+         44.24466, rtol=5e-3)
+    _pin("raw_pieces", float(len(pieces)), 1.0, rtol=0.3)
+
+
+def _pin(name, got, want, rtol):
+    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
+    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
+        return
+    assert want is not None and abs(got - want) <= rtol * abs(want), \
+        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":

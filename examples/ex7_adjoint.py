@@ -69,6 +69,11 @@ def main():
           f"finite fraction {np.isfinite(ksens).mean():.3f}")
     assert np.isfinite(sens).all() and np.isfinite(ksens).all()
     assert np.abs(sens).max() > 0 and np.abs(ksens).max() > 0
+    # golden pins (bundled snapshot; f32 gradients wander more across
+    # backends than primals, hence the wider bands)
+    _pin("sum_lwa_sq", float(value), 6.913689e15, rtol=1e-2)
+    _pin("sum_nkeff", float(kval), 689.0743, rtol=1e-2)
+    _pin("dJ_dq_max", float(np.abs(sens).max()), 3.189302e19, rtol=5e-2)
 
     import matplotlib
     matplotlib.use("Agg")
@@ -94,6 +99,14 @@ def main():
     fig.tight_layout()
     fig.savefig(out_png, dpi=110)
     print("wrote", out_png)
+
+
+def _pin(name, got, want, rtol):
+    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
+    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
+        return
+    assert want is not None and abs(got - want) <= rtol * abs(want), \
+        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":
