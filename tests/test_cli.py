@@ -597,6 +597,19 @@ def test_cli_lwa_part_cyclone_maps_to_upper(synth_nc, tmp_path):
     np.testing.assert_array_equal(a["lwa"], b["lwa"])
 
 
+def test_cli_lwa_lin_rejects_part_split(synth_nc):
+    """--lwa-method lin computes only the combined W+ + W- sum (the
+    linearized kernel telescopes the two parts); asking it for a split
+    part must be a clean CLI rejection, not a trace-time ValueError
+    (found by tools/fuzz_cli.py)."""
+    path, *_ = synth_nc
+    for part in ("upper", "lower", "cyclone", "anticyclone"):
+        with pytest.raises(SystemExit, match="lwa-method lin"):
+            cli.main(["lwa", path, "--var", "q", "--part", part,
+                      "--lwa-method", "lin"])
+    # part=all with lin stays valid (validated elsewhere end-to-end)
+
+
 def test_cli_stem_resume_with_isel_and_trailing_chunk_guard(synth_nc,
                                                             tmp_path):
     """(1) A byte-identical rerun with --isel resumes instead of being

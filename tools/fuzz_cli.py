@@ -231,6 +231,17 @@ def one(seed: int, workdir: str) -> list:
         metric = ("dA", "dy")[int(rng.integers(0, 2))]
         argv += ["--metric", metric]
         lwa_kw["metric"] = metric
+        if m == "lin" and lwa_kw.get("part", "all") != "all":
+            # invalid by contract: the CLI must REJECT it cleanly (fuzz
+            # finding: it used to crash with a trace-time ValueError)
+            try:
+                rc = cli.main(list(argv))
+            except SystemExit as e:
+                if "lwa-method lin" in str(e):
+                    return []
+                return [f"wrong rejection for lin+part: {e}"]
+            return [f"lin+part={lwa_kw['part']} accepted (rc={rc}); "
+                    "expected a clean SystemExit"]
     with_lwa2 = cmd == "keff-lwa" and bool(rng.integers(0, 2))
     if with_lwa2:
         argv += ["--with-lwa2"]

@@ -628,6 +628,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     if getattr(args, "part", None):
         args.part = {"cyclone": "upper",
                      "anticyclone": "lower"}.get(args.part, args.part)
+        if args.part != "all" and getattr(args, "lwa_method", "auto") == "lin":
+            raise SystemExit(
+                "--lwa-method lin computes only part='all' (the linearized "
+                "kernel telescopes the combined W+ + W- sum; the split "
+                "needs the pairwise path) — use --lwa-method dense or "
+                "auto with --part " + args.part)
 
     if args.cmd == "info":
         try:
