@@ -401,6 +401,15 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     q = jnp.asarray(snaps, jnp.float32)
     out = {}
 
+    # bracket the kernel section with the VPU probe (again at the end) and
+    # use the BEST reading as the same-window denominator: a single probe
+    # placement can ride one unlucky contention slice and then every VPU
+    # kernel "beats" the ceiling by 3x (observed 2026-08-19 03:25 run:
+    # probe 0.73 Tslots while the kernels ran within 12% of their quiet
+    # rates -> 276% readings).  max(pre, post) is still a same-window
+    # demonstrated rate, so the quality claim stays contention-normalized.
+    probe_pre = vpu_probe(batch=batch, Ny=Ny, Nx=Nx)
+
     # stencil: one VMEM pass, read q + write out (+ dx, dy once) -> HBM-bound.
     # Measured at B=512 (537 MB per invocation) so the operand cannot stay
     # on-chip across chained invocations; at the pipeline's B=32 the batch
@@ -508,7 +517,8 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     # it — the exact analogue of the stencil's pct_of_copy_ceiling — so a
     # congested window deflates kernel rate and denominator together and
     # the quality claim survives contention.
-    probe = vpu_probe(batch=batch, Ny=Ny, Nx=Nx)
+    probe_post = vpu_probe(batch=batch, Ny=Ny, Nx=Nx)
+    probe = max(probe_pre, probe_post, key=lambda p: p["slots_per_s"])
 
     # self-calibrating ceilings (see docstring): never report > 100%
     vpu_ceiling = max([VPU_OPS, probe["slots_per_s"]]
@@ -540,7 +550,10 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     # a congested window
     out["contention"] = dict(
         copy_gbps=round(bts / t_copy / 1e9, 1),
-        vpu_probe_tslots=round(probe["slots_per_s"] / 1e12, 2))
+        vpu_probe_tslots=round(probe["slots_per_s"] / 1e12, 2),
+        vpu_probe_pre_post_tslots=[
+            round(probe_pre["slots_per_s"] / 1e12, 2),
+            round(probe_post["slots_per_s"] / 1e12, 2)])
     return out
 
 
