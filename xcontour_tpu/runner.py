@@ -107,7 +107,13 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
     the host->device payload: chunks are cast on the host, transferred at
     half width, and upcast back to the source dtype ON DEVICE before
     ``step`` runs — compute precision is unchanged, only the wire format
-    narrows.  Opt-in because it rounds the INPUT (f16: 11 significand bits,
+    narrows.  The wire carries the narrowed bits as a same-width UNSIGNED
+    INT view (bitcast back on device — bit-identical to shipping the float
+    dtype itself): this image's tunnel serializes some float dtypes slower
+    than the same bytes as integers (measured f16 14.1 vs u16-view 31.7
+    MB/s in one window, at parity in others — tools/transfer_probe.py),
+    and the int view is never slower.  Opt-in because it rounds the INPUT
+    (f16: 11 significand bits,
     ~5e-4 relative; bf16: 8 bits, ~4e-3): use when the link is the
     bottleneck (this image's tunnel moves ~16 MB/s) and the tracer's
     information content is coarser than the mantissa loss — e.g.
@@ -131,9 +137,12 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
                 f"transfer_dtype {wire} is not narrower than the source "
                 f"dtype {full}; compression would be a no-op")
         user_step = step
+        wire_int = np.dtype(f"uint{8 * wire.itemsize}")
 
-        def step(x):  # upcast ON DEVICE: compute precision is unchanged
-            return user_step(x.astype(full))
+        def step(x):  # bitcast + upcast ON DEVICE: compute precision and
+            # values are identical to shipping the float wire dtype itself
+            w = jax.lax.bitcast_convert_type(x, wire)
+            return user_step(w.astype(full))
     T = snapshots.shape[0]
     nchunk = -(-T // batch)
     collected: List[Optional[Dict[str, np.ndarray]]] = []
@@ -152,7 +161,9 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
             pad = np.repeat(arr[-1:], batch - (hi - lo), axis=0)
             arr = np.concatenate([arr, pad], axis=0)
         if transfer_dtype is not None:  # narrow the wire format on the host
-            arr = arr.astype(transfer_dtype)
+            # ship the narrowed bits as an int view (see docstring);
+            # astype returns a fresh contiguous array, so the view is free
+            arr = arr.astype(transfer_dtype).view(wire_int)
         return jax.device_put(arr, sharding), hi - lo
 
     def attempt(dev, nvalid):
