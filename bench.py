@@ -300,7 +300,14 @@ def _kernel_time(kernel_of_x, x0, inner_lo=2, inner_hi=10, reps=8):
 
     t_hi = device_time(make(inner_hi), x0, reps=reps)
     t_lo = device_time(make(inner_lo), x0, reps=reps)
-    return max((t_hi - t_lo) / (inner_hi - inner_lo), 1e-9)
+    # same garbled-slope guard as _kernel_time_best: a congested window can
+    # measure t_hi <= t_lo, and the raw slope then reports 0.0 ms for a real
+    # workload (observed: clength/local_length in the 11:34 run).  The
+    # amortized per-iteration time of the long chain is always a valid
+    # upper bound, and clamping to it can only UNDER-claim.
+    ub = t_hi / inner_hi
+    slope = (t_hi - t_lo) / (inner_hi - inner_lo)
+    return ub if slope <= 0 else min(slope, ub)
 
 
 def _kernel_time_best(kernel_of_x, x0, passes=3, inner_lo=2, inner_hi=10,
