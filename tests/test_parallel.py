@@ -394,6 +394,31 @@ def test_hybrid_device_array_topology():
         hybrid_device_array(devs, x_size=3)
 
 
+def test_make_mesh_rejects_indivisible_x_size():
+    import jax
+    from xcontour_tpu.parallel import make_mesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh(x_size=n + 7)
+
+
+def test_hybrid_mesh_default_x_size_is_whole_slice():
+    """make_hybrid_mesh(slice_of=..., x_size=None) defaults each slice's
+    local devices to one whole ICI ('x') group: 2 fake islands over the
+    virtual 8-CPU mesh -> a (2, 4) mesh with pure-slice rows."""
+    import jax
+    from xcontour_tpu.parallel import make_hybrid_mesh
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    hm = make_hybrid_mesh(slice_of=lambda d: d.id // 4)
+    assert hm.devices.shape == (2, 4)
+    for row in hm.devices:
+        assert len({d.id // 4 for d in row}) == 1
+
+
 def test_hybrid_mesh_multislice_on_virtual_devices(rng):
     """The multi-slice make_hybrid_mesh branch EXECUTES on the virtual
     8-CPU mesh: slice_of attributes devices to 2 fake DCN islands, the mesh
