@@ -1,9 +1,13 @@
 # Convenience targets (see CLAUDE.md for environment notes)
 
-.PHONY: test bench smoke examples native clean
+.PHONY: test test-shuffled bench smoke examples native clean
 
 test:
 	python -m pytest tests/ -x -q
+
+# order-independence pass: shuffled collection (any integer seed works)
+test-shuffled:
+	TEST_SHUFFLE_SEED=$${SEED:-1} python -m pytest tests/ -x -q
 
 bench:
 	python bench.py
