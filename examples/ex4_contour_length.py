@@ -13,6 +13,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _pins import _pin  # shared golden-pin helper (examples/_pins.py)
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -72,13 +74,6 @@ def main():
     _pin("L_median_km", float(np.nanmedian(L[sl])) / 1e3, 40700.6,
          rtol=2e-3)
 
-
-def _pin(name, got, want, rtol):
-    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
-    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
-        return
-    assert want is not None and abs(got - want) <= rtol * abs(want), \
-        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":

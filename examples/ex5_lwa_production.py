@@ -16,6 +16,8 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _pins import _pin  # shared golden-pin helper (examples/_pins.py)
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -77,13 +79,6 @@ def main():
     _pin("lwa_norm_mean_abs", float(np.nanmean(np.abs(out["lwa_norm"]))),
          0.2293725, rtol=2e-3)
 
-
-def _pin(name, got, want, rtol):
-    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
-    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
-        return
-    assert want is not None and abs(got - want) <= rtol * abs(want), \
-        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":

@@ -13,6 +13,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _pins import _pin  # shared golden-pin helper (examples/_pins.py)
+
 import numpy as np
 
 from xcontour_tpu.utils import synth
@@ -60,13 +62,6 @@ def main():
          44.24466, rtol=5e-3)
     _pin("raw_pieces", float(len(pieces)), 1.0, rtol=0.3)
 
-
-def _pin(name, got, want, rtol):
-    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
-    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
-        return
-    assert want is not None and abs(got - want) <= rtol * abs(want), \
-        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":

@@ -19,6 +19,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _pins import _pin  # shared golden-pin helper (examples/_pins.py)
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -100,13 +102,6 @@ def main():
     fig.savefig(out_png, dpi=110)
     print("wrote", out_png)
 
-
-def _pin(name, got, want, rtol):
-    print(f"[pin] {name} = {got:.7g} (expect {want} within {rtol:g})")
-    if os.environ.get("XC_EX_COLLECT"):        # pin-collection mode
-        return
-    assert want is not None and abs(got - want) <= rtol * abs(want), \
-        f"golden pin {name}: got {got!r}, pinned {want!r} (rtol {rtol})"
 
 
 if __name__ == "__main__":

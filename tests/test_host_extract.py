@@ -218,6 +218,14 @@ def test_host_contour_lengths_reference_observables():
     np.testing.assert_allclose(got[0], 2 * np.pi * 0.6, rtol=5e-4)
     assert got[1] == 0.0
 
+    # the advertised default dims=(None, None) means index space (it used to
+    # crash in np.asarray(None)); equals explicit index coordinates
+    idx = host_lengths(r, [0.6], latlon=False)
+    explicit = host_lengths(r, [0.6], dims=(np.arange(r.shape[0], dtype=float),
+                                            np.arange(r.shape[1], dtype=float)),
+                            latlon=False)
+    np.testing.assert_allclose(idx, explicit, rtol=1e-12)
+
 
 def test_df_contours_tabulates_pieces():
     """df_contours: single array and list-of-pieces forms both yield a

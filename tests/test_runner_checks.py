@@ -245,6 +245,54 @@ def test_transfer_dtype_must_narrow(rng):
                     transfer_dtype=np.float32)
 
 
+def test_transfer_dtype_range_guard(rng):
+    """Values outside the wire dtype's range must raise a named error, not
+    silently become inf (overflow) or collapse into subnormals where the
+    relative rounding is percent-level, not the documented ~5e-4 (f16)."""
+    base = rng.normal(size=(4, 8, 16)).astype(np.float32)
+    kw = dict(batch=4, log=lambda s: None)
+    with pytest.raises(ValueError, match="overflow"):      # |v| > f16 max
+        run_batched(jax.jit(_step), base * 1e5, transfer_dtype=np.float16,
+                    **kw)
+    with pytest.raises(ValueError, match="subnormal"):     # whole chunk tiny
+        run_batched(jax.jit(_step), base * 1e-6, transfer_dtype=np.float16,
+                    **kw)
+    # the same magnitudes are fine on the wider-range bf16 wire
+    out = run_batched(jax.jit(_step), base * 1e5,
+                      transfer_dtype=jnp.bfloat16, **kw)
+    np.testing.assert_allclose(out["mean"], (base * 1e5).mean(axis=(1, 2)),
+                               rtol=0, atol=2e-2 * 1e5)
+    # legitimate NaN/inf in the input (masks) do not trip the guard
+    masked = base.copy()
+    masked[:, 0, 0] = np.nan
+    masked[:, 1, 1] = np.inf
+    run_batched(jax.jit(_step), masked, transfer_dtype=np.float16, **kw)
+
+
+def test_wire_upcaster_shared_across_runs():
+    """The device-side bitcast+upcast program must be cached at module level:
+    a fresh jitted closure per run_batched call would recompile per call —
+    and fusing it into the user step recompiles the WHOLE pipeline, measured
+    2x slower end-to-end on the tunnel-bound streaming path."""
+    from xcontour_tpu.runner import _wire_upcaster
+    assert _wire_upcaster("float16", "float32") \
+        is _wire_upcaster("float16", "float32")
+    up = _wire_upcaster("float16", "float32")
+    x = np.array([1.5, -2.25], np.float16).view(np.uint16)
+    np.testing.assert_array_equal(np.asarray(up(x)),
+                                  np.array([1.5, -2.25], np.float32))
+
+
+def test_runner_rejects_scalar_outputs(rng):
+    """A 0-d step output cannot be tail-trimmed (padded snapshots would
+    contaminate it): the runner names the offending key instead of the old
+    IndexError-retried-until-failure behavior."""
+    snaps = rng.normal(size=(6, 8, 16)).astype(np.float32)
+    step = jax.jit(lambda x: {"total": jnp.sum(x)})
+    with pytest.raises(ValueError, match="total"):
+        run_batched(step, snaps, batch=4, log=lambda s: None)
+
+
 def test_cli_transfer_flag(tmp_path, rng):
     """--transfer f16 streams through the CLI end-to-end; results track the
     f32 run within the input-rounding bound and a changed --transfer

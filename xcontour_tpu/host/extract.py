@@ -53,6 +53,9 @@ def find_contour(data, dims: Optional[Sequence] = None, level: float = 0.0,
     coordinate values, which is the semantics the scripts intend.
     """
     d = np.asarray(data, np.float64)
+    if dims is not None and len(dims) != 2:
+        raise ValueError(f"dims must be (ydef, xdef) coordinate vectors or "
+                         f"None, got {len(dims)} entr(y/ies)")
     py, px = period[0], period[1]
     if dims is None and (py is not None or px is not None):
         raise ValueError("period= requires coordinate dims")
@@ -96,6 +99,8 @@ def contour_lengths(data, contours, dims: Sequence = (None, None),
     Matches the reference observable: a level with no contour yields 0.0
     (``sum([])``); a degenerate single-vertex piece yields NaN.
     """
+    if dims is not None and all(d is None for d in dims):
+        dims = None  # the advertised default: index-space lengths
     levels = np.atleast_1d(np.asarray(contours, np.float64))
     out = np.empty(levels.shape, np.float64)
     for i, c in enumerate(levels):

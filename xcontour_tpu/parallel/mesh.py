@@ -92,6 +92,7 @@ def make_hybrid_mesh(axis_names: Sequence[str] = ("batch", "x"),
     if jax.process_count() <= 1 and slice_of is None:
         return make_mesh(axis_names=axis_names, x_size=x_size)
     devs = jax.devices()
+    custom_slicing = slice_of is not None
     if slice_of is None:
         def slice_of(d):
             return d.process_index
@@ -99,7 +100,22 @@ def make_hybrid_mesh(axis_names: Sequence[str] = ("batch", "x"),
     local = len(devs) // n_slices
     if x_size is None:
         x_size = local            # whole-slice ICI groups by default
-    arr = hybrid_device_array(devs, x_size, slice_of=slice_of)
+    if not custom_slicing:
+        # real pod, default host-is-an-island attribution: let jax's
+        # topology-aware placement lay each in-slice (batch, x) tile onto
+        # physically adjacent ICI coordinates (a 2-D per-host topology,
+        # e.g. v5e 4x2, would otherwise get enumeration-order x rows that
+        # span non-neighbor links).  Falls back to enumeration order where
+        # the backend exposes no coords (CPU/virtual devices).
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (local // x_size, x_size), (n_slices, 1), devices=devs,
+                process_is_granule=True)
+        except Exception:
+            arr = hybrid_device_array(devs, x_size, slice_of=slice_of)
+    else:
+        arr = hybrid_device_array(devs, x_size, slice_of=slice_of)
     assert arr.shape == (len(devs) // x_size, x_size)
     return Mesh(arr, axis_names)
 

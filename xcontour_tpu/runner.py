@@ -49,6 +49,53 @@ def _read_marker(path: str) -> dict:
             "re-run run_batched(..., resume=True)") from e
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _wire_upcaster(wire_name: str, full_name: str):
+    """One tiny jitted bitcast+upcast program per (wire, full) pair, cached
+    at module level so repeated run_batched calls reuse the compilation —
+    the two elementwise ops fuse into a single kernel (one HBM write
+    instead of two eager dispatches)."""
+    wire = jnp.dtype(wire_name)
+    full = jnp.dtype(full_name)
+    return jax.jit(lambda x: jax.lax.bitcast_convert_type(x, wire)
+                   .astype(full))
+
+
+def _check_wire_range(arr: np.ndarray, wire) -> None:
+    """Guard a transfer_dtype cast against silent range failure: values past
+    the wire dtype's max become inf, and a chunk whose whole magnitude sits
+    below its smallest normal collapses into subnormals where the relative
+    rounding is percent-level, not the documented mantissa bound (f16 ~5e-4).
+    One cheap host-side abs-max per chunk; raises with the repair."""
+    try:
+        fi = np.finfo(wire)
+    except ValueError:  # np.finfo rejects ml_dtypes (bfloat16)
+        import ml_dtypes  # ships with jax
+        fi = ml_dtypes.finfo(wire)
+    with np.errstate(invalid="ignore"):
+        m = float(np.max(np.abs(arr))) if arr.size else 0.0
+    if not np.isfinite(m):  # input carries inf/NaN legitimately (masks);
+        fin = arr[np.isfinite(arr)]  # judge only the finite values
+        m = float(np.max(np.abs(fin))) if fin.size else 0.0
+    if m > float(fi.max):
+        raise ValueError(
+            f"transfer_dtype {np.dtype(wire)} cannot carry this chunk: "
+            f"|values| reach {m:.4g} > its max {float(fi.max):.4g}, the "
+            "wire cast would overflow to inf — rescale the variable "
+            "(CLI: --scale-var) or drop the transfer compression")
+    if 0.0 < m < float(fi.tiny):
+        raise ValueError(
+            f"transfer_dtype {np.dtype(wire)} cannot carry this chunk: "
+            f"|values| peak at {m:.4g} < its smallest normal "
+            f"{float(fi.tiny):.4g}, so the whole chunk lands in subnormals "
+            "where relative rounding far exceeds the documented bound — "
+            "rescale the variable (CLI: --scale-var) or drop the transfer "
+            "compression")
+
+
 def _fetch_packed(out: Dict[str, jax.Array]) -> Dict[str, np.ndarray]:
     """Fetch a dict of device outputs with as FEW device->host round-trips
     as possible: every same-(dtype, batch) group is concatenated on device
@@ -60,7 +107,9 @@ def _fetch_packed(out: Dict[str, jax.Array]) -> Dict[str, np.ndarray]:
     groups: Dict[object, list] = {}
     for k, v in out.items():
         if not hasattr(v, "ndim") or v.ndim == 0:
-            groups.setdefault(None, []).append(k)      # scalars: direct
+            # 0-d: fetch directly (run_batched rejects these upstream —
+            # they cannot be tail-trimmed — but stay robust for other callers)
+            groups.setdefault(None, []).append(k)
         else:
             groups.setdefault((jnp.dtype(v.dtype), v.shape[0]), []).append(k)
     res: Dict[str, np.ndarray] = {}
@@ -138,11 +187,16 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
                 f"dtype {full}; compression would be a no-op")
         user_step = step
         wire_int = np.dtype(f"uint{8 * wire.itemsize}")
+        upcast = _wire_upcaster(wire.name, full.name)
 
         def step(x):  # bitcast + upcast ON DEVICE: compute precision and
-            # values are identical to shipping the float wire dtype itself
-            w = jax.lax.bitcast_convert_type(x, wire)
-            return user_step(w.astype(full))
+            # values are identical to shipping the float wire dtype itself.
+            # NOT fused into user_step under one jit: that would compile a
+            # brand-new copy of the whole pipeline (tens of seconds, and
+            # once per run_batched call since the closure is fresh) to save
+            # one ~0.3 ms full-width HBM pass per chunk on a path that is
+            # tunnel-bound by definition — measured 2x SLOWER end-to-end.
+            return user_step(upcast(x))
     T = snapshots.shape[0]
     nchunk = -(-T // batch)
     collected: List[Optional[Dict[str, np.ndarray]]] = []
@@ -161,6 +215,7 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
             pad = np.repeat(arr[-1:], batch - (hi - lo), axis=0)
             arr = np.concatenate([arr, pad], axis=0)
         if transfer_dtype is not None:  # narrow the wire format on the host
+            _check_wire_range(arr, wire)
             # ship the narrowed bits as an int view (see docstring);
             # astype returns a fresh contiguous array, so the view is free
             arr = arr.astype(transfer_dtype).view(wire_int)
@@ -168,6 +223,13 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
 
     def attempt(dev, nvalid):
         out = step(dev)
+        bad = [key for key, v in out.items() if getattr(v, "ndim", 1) == 0]
+        if bad:
+            raise ValueError(
+                f"step outputs must keep a leading snapshot axis; 0-d "
+                f"outputs {bad} cannot be trimmed to the valid tail-chunk "
+                "snapshots (padded snapshots would contaminate them) — "
+                "return per-snapshot values and reduce after load")
         out_np = {key: v[:nvalid] for key, v in _fetch_packed(out).items()}
         if validate is not None:
             validate(out_np)
