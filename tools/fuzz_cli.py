@@ -204,6 +204,12 @@ def one(seed: int, workdir: str) -> list:
         argv += ["--isel", f"{d}={isel[d]}"]
     if rng.integers(0, 2):
         argv += ["--format", "nc3"]
+    transfer = None
+    if rng.integers(0, 4) == 0:   # reduced-precision wire format: the CLI
+        # rounds each chunk AFTER the lazy-view transforms, so the expected
+        # value is the composed array rounded once (bit-identical contract)
+        transfer = ("f16", "bf16")[int(rng.integers(0, 2))]
+        argv += ["--transfer", transfer]
 
     lmin = ("analytic", "dxF", "frac")[int(rng.integers(0, 3))]
     interp_eq = False
@@ -286,6 +292,10 @@ def one(seed: int, workdir: str) -> list:
     arr = arr.reshape((-1, Ny, Nx)).astype(np.float32)
     if mask_used is not None:
         arr = np.where(mask_used[None], arr, np.nan)
+    if transfer is not None:      # same host cast the runner applies
+        import ml_dtypes
+        wdt = np.float16 if transfer == "f16" else ml_dtypes.bfloat16
+        arr = arr.astype(wdt).astype(np.float32)
     mask_f = None if mask_used is None \
         else np.asarray(mask_used, np.float32)
 
