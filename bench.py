@@ -52,6 +52,67 @@ REARTH = 6371200.0
 METRIC = "keff+lwa snapshots/sec (256x512 global grid, N=121, f32)"
 
 
+# ---- pinned CPU-baseline denominators (quiet-window medians; see
+# BASELINE.md "Pinned denominators") ------------------------------------------
+# The live oracle reading swings ~3x with host load (BENCH_HISTORY.jsonl:
+# 0.88..2.86 sps across one day), so cross-round speedup claims carry BOTH the
+# live ratio and this pinned one.  Re-pin with tools/pin_baseline.py on a
+# quiet host.
+# 2026-08-19, load 0.05, 5 passes (tools/pin_baseline.py):
+# oracle 2.223/2.284/2.330/2.375/2.409; fast 8.68/10.21/10.28/10.32/11.44
+PINNED_ORACLE_SPS = 2.33
+PINNED_NUMPY_FAST_SPS = 10.28
+
+
+# ---------------------------------------------------------------------------
+# fault handling: this image's TPU tunnel raises transient
+# FAILED_PRECONDITION/UNAVAILABLE during outages that heal within minutes
+# (round 4's driver capture died on one; a re-run 33 min later passed).
+# ---------------------------------------------------------------------------
+_TRANSIENT_MARKERS = ("UNAVAILABLE", "FAILED_PRECONDITION",
+                      "DEADLINE_EXCEEDED", "ABORTED", "INTERNAL",
+                      "Socket closed", "connection reset", "GOAWAY",
+                      "TPU backend")
+
+
+def _is_transient(exc: BaseException) -> bool:
+    return any(m in repr(exc) for m in _TRANSIENT_MARKERS)
+
+
+def _retry(section, fn, attempts=3, backoff_s=20.0):
+    """Bounded retry on transient backend faults, geometric backoff.
+    Non-transient errors propagate immediately (main() still emits the
+    parseable error line)."""
+    attempts = max(1, int(os.environ.get("BENCH_RETRIES", attempts)))
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — classify, retry or re-raise
+            if i == attempts - 1 or not _is_transient(e):
+                raise
+            wait = backoff_s * (2 ** i)
+            print(f"# bench: transient backend fault in {section} "
+                  f"(attempt {i + 1}/{attempts}): {repr(e)[:200]}; "
+                  f"retrying in {wait:.0f}s", file=sys.stderr)
+            time.sleep(wait)
+
+
+def host_latlon_grid(lat, lon):
+    """Grid with HOST (numpy) leaves, built on the CPU backend.
+
+    Every jitted bench step *closes over* its grid, so the leaves embed as
+    trace-time constants; device-resident leaves make XLA's constant handler
+    fetch each one device->host DURING LOWERING — through a tunnel that is
+    slow and can be down (this exact path produced round 4's rc=1 driver
+    capture).  Host leaves embed with zero device traffic."""
+    import jax
+    import jax.numpy as jnp
+    from xcontour_tpu import grid as G
+    with jax.default_device(jax.devices("cpu")[0]):
+        g = G.from_latlon(lat, lon, dtype=jnp.float32)
+    return G.to_host(g)
+
+
 # ---------------------------------------------------------------------------
 # timing
 # ---------------------------------------------------------------------------
@@ -98,10 +159,8 @@ def cpu_oracle_sps(lat, lon, vor, n_snap=10, N=121):
     """Reference-semantics float64 NumPy chain (compat.py), per-snapshot
     Python loop — the reference's execution model."""
     from xcontour_tpu import compat
-    from xcontour_tpu import grid as G
-    import jax.numpy as jnp
 
-    grid = G.from_latlon(lat, lon, dtype=jnp.float32)
+    grid = host_latlon_grid(lat, lon)   # host leaves: no device fetches
     dA = np.asarray(grid.dA, np.float64)
     dxF = np.asarray(grid.dxF, np.float64)
     mask = np.ones_like(vor)
@@ -188,13 +247,14 @@ def cpu_numpy_fast_sps(lat, lon, vor, n_snap=10, N=121):
 # ---------------------------------------------------------------------------
 # TPU sections
 # ---------------------------------------------------------------------------
-def headline(lat, lon, vor, batch=32, N=121):
+def headline(lat, lon, vor, batch=32, N=121, lwa_method="auto"):
     import jax
     import jax.numpy as jnp
-    from xcontour_tpu import grid as G
     from xcontour_tpu.pipeline import keff_lwa_pipeline
 
-    grid = G.from_latlon(lat, lon, dtype=jnp.float32)
+    # host-leaf grid: the jitted step closes over it, and numpy constants
+    # embed with no trace-time device->host fetch (VERDICT r4 #1c)
+    grid = host_latlon_grid(lat, lon)
     rng = np.random.default_rng(0)
     snaps = vor[None] * (1.0 + 1e-4 * rng.standard_normal((batch, 1, 1)))
     tr = jnp.asarray(snaps, jnp.float32)
@@ -202,7 +262,7 @@ def headline(lat, lon, vor, batch=32, N=121):
     @jax.jit
     def step(t):
         out = keff_lwa_pipeline(t, grid, N=N, increase=True, lt=True,
-                                lmin="analytic")
+                                lmin="analytic", lwa_method=lwa_method)
         # fold the full result set back into the next input: nothing can be
         # dead-code-eliminated or deferred past the fetch
         dep = (out["lwa"] + out["nkeff"][..., 0, None, None]
@@ -216,7 +276,7 @@ def headline(lat, lon, vor, batch=32, N=121):
 
     # output sanity on a real (unchained) call
     out = keff_lwa_pipeline(tr, grid, N=N, increase=True, lt=True,
-                            lmin="analytic")
+                            lmin="analytic", lwa_method=lwa_method)
     nk = np.asarray(out["nkeff"])
     assert np.isfinite(nk).sum() > nk.size * 0.5, "benchmark output degenerate"
     return sps
@@ -230,10 +290,9 @@ def adjoint_section(lat, lon, vor, batch=32, N=121, era5=False):
     twins of the Pallas forwards."""
     import jax
     import jax.numpy as jnp
-    from xcontour_tpu import grid as G
     from xcontour_tpu.pipeline import keff_lwa_pipeline
 
-    grid = G.from_latlon(lat, lon, dtype=jnp.float32)
+    grid = host_latlon_grid(lat, lon)
     rng = np.random.default_rng(0)
     snaps = vor[None] * (1.0 + 1e-4 * rng.standard_normal((batch, 1, 1)))
     tr = jnp.asarray(snaps, jnp.float32)
@@ -260,7 +319,7 @@ def adjoint_section(lat, lon, vor, batch=32, N=121, era5=False):
         Ny, Nx, B2, N2 = 721, 1440, 4, 241
         lat2 = np.linspace(-90, 90, Ny)
         lon2 = np.linspace(0, 360 - 360 / Nx, Nx)
-        grid2 = G.from_latlon(lat2, lon2, dtype=jnp.float32)
+        grid2 = host_latlon_grid(lat2, lon2)
         base = (np.sin(np.deg2rad(lat2))[:, None]
                 + 0.2 * np.cos(4 * np.deg2rad(lon2))[None, :]
                 * np.cos(np.deg2rad(lat2))[:, None])
@@ -378,6 +437,217 @@ def vpu_probe(batch=32, Ny=256, Nx=512, iters=128, chains=8):
                       "(not XLA-collapsible, pipeline-filling)")
 
 
+# ---------------------------------------------------------------------------
+# per-kernel STRUCTURE probes (VERDICT r4 #3): for each VPU kernel, a twin
+# pallas kernel with the IDENTICAL grid, block specs, and loop structure whose
+# body does the op model's slot count as pipeline-friendly independent work —
+# the reduction/one-hot machinery removed.  Its measured rate is a ceiling the
+# kernel could actually reach at this structure (the exact analogue of the
+# stencil's same-blocking pallas-copy ceiling): kernel ~ probe proves the op
+# model's gap is structural (reduction latency, grid/dispatch, DMA), a fast
+# probe proves real headroom.
+# ---------------------------------------------------------------------------
+def _lwa_structure_probe(q, Q, W):
+    """Twin of kernels/lwa_pallas._kernel_lin's surface loop: same
+    (B, n_xb, ntj) grid, same blocks, same unrolled _TJ fori; per (surface,
+    cell) the same 3 slots (sub, clamp, fused mul-accumulate) — but the
+    accumulate is ELEMENTWISE into a carried panel instead of the kernel's
+    cross-sublane row reduction."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from xcontour_tpu.kernels.lwa_pallas import _TJ, _choose_nxb
+
+    B, Ny, Nx = q.shape
+    ntj = pl.cdiv(Ny, _TJ)
+    nxb = _choose_nxb(Ny, q.dtype.itemsize * 2, Nx)
+    assert Nx % nxb == 0
+    n_xb = Nx // nxb
+
+    def kernel(Qs_ref, q_ref, W_ref, out_ref, *, ny):
+        b = pl.program_id(0)
+        t = pl.program_id(2)
+        qp = q_ref[0]
+        Wp = W_ref[...]
+
+        def body(jj, acc):
+            j = t * _TJ + jj
+            Qj = Qs_ref[b, jnp.minimum(j, ny - 1)]
+            qe = qp - Qj                        # 1 slot
+            ext = jnp.minimum(qe, 0.0)          # 1 slot
+            return acc + ext * Wp               # 1 fused slot
+        acc = jax.lax.fori_loop(0, _TJ, body, jnp.zeros_like(qp),
+                                unroll=True)
+        out_ref[0, :, :] = acc[: out_ref.shape[1], :]
+
+    from functools import partial as _p
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_xb, ntj),
+        in_specs=[
+            pl.BlockSpec((1, Ny, nxb), lambda b, x, t, *_: (b, 0, x),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, nxb), lambda b, x, t, *_: (0, x),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TJ, nxb), lambda b, x, t, *_: (b, t, x)),
+    )
+    import jax as _jax
+
+    @_jax.jit
+    def run(qx):
+        return pl.pallas_call(
+            _p(kernel, ny=Ny),
+            out_shape=_jax.ShapeDtypeStruct((B, ntj * _TJ, Nx), q.dtype),
+            grid_spec=grid_spec,
+        )(Q, qx, W)
+    return run, B * (ntj * _TJ) * Ny * Nx * 3
+
+
+def _hist_structure_probe(vals, edges, wts, tile=32768):
+    """Twin of kernels/hist_pallas._kernel: same (B, tiles) grid, blocks, and
+    LB=16 level-block loop; per (level, element) the same 3 slots (1 shared
+    cmp + 2 fused masked-accumulates) — accumulating ELEMENTWISE into carried
+    panels instead of the kernel's per-level full-tile reductions + one-hot
+    scratch stores."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from functools import partial as _p
+
+    B, G = vals.shape
+    N = edges.shape[-1] - 1
+    lanes = 128
+    rows_per_tile = max(8, tile // lanes)
+    assert G % (rows_per_tile * lanes) == 0
+    rows = G // lanes
+    v3 = vals.reshape(B, rows, lanes)
+    w4 = wts.reshape(B, 2, rows, lanes)
+
+    def kernel(e_ref, v_ref, w_ref, out_ref, *, n_bins):
+        b = pl.program_id(0)
+        v = v_ref[0]
+        w0 = w_ref[0, 0]
+        w1 = w_ref[0, 1]
+        LB = 16
+        n_blk = (n_bins + LB - 1) // LB
+
+        def body(blk, accs):
+            a0, a1 = accs
+            k0 = blk * LB
+            for kk in range(LB):
+                k_safe = jnp.minimum(k0 + kk, n_bins - 1)
+                e = e_ref[b, k_safe + 1]
+                below = v < e                            # 1 slot
+                a0 = a0 + jnp.where(below, w0, 0.0)      # 1 fused slot
+                a1 = a1 + jnp.where(below, w1, 0.0)      # 1 fused slot
+            return (a0, a1)
+        a0, a1 = jax.lax.fori_loop(0, n_blk, body,
+                                   (jnp.zeros_like(v), jnp.zeros_like(v)),
+                                   unroll=False)
+        out_ref[0, 0:1, :] = (a0 + a1)[0:1, :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, rows // rows_per_tile),
+        in_specs=[
+            pl.BlockSpec((1, rows_per_tile, lanes), lambda b, t, *_: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, rows_per_tile, lanes),
+                         lambda b, t, *_: (b, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, lanes), lambda b, t, *_: (b, 0, 0)),
+    )
+
+    @jax.jit
+    def run(vx):
+        return pl.pallas_call(
+            _p(kernel, n_bins=N),
+            out_shape=jax.ShapeDtypeStruct((B, 1, lanes), vals.dtype),
+            grid_spec=grid_spec,
+        )(edges, vx.reshape(B, rows, lanes), w4)
+    # the LB blocks run past N like the kernel; count the evaluated levels
+    n_eval = ((N + 15) // 16) * 16
+    return run, B * n_eval * G * 3
+
+
+def _length_structure_probe(data, levels, ydef, xdef):
+    """Twin of kernels/length_pallas._kernel: same (B, n_rb) grid, the same
+    corner/reciprocal/trig panels, the same sorted-active-range dynamic fori
+    — the body replaced by OPS_PER_CELL_LEVEL slots of pipeline-friendly
+    independent FMA chains per (cell, level), elementwise-accumulated
+    (no cross-lane reduction, no one-hot scratch store)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from functools import partial as _p
+    from xcontour_tpu.kernels.length_pallas import (
+        _block_panels, _active_ranges, OPS_PER_CELL_LEVEL, _RB)
+
+    B, Ny, Nx = data.shape
+    Nl = levels.shape[-1]
+    yd = jnp.broadcast_to(ydef, (B, Ny)).astype(data.dtype)
+    xd = jnp.broadcast_to(xdef, (B, Nx)).astype(data.dtype)
+    lev_b = jnp.broadcast_to(levels, (B, Nl))
+    (v00, v01, v10, v11, it, ib, il, ir, cy, sy, dyr, dxc,
+     valid, lo, hi, n_rb, NxC) = _block_panels(data, yd, xd, latlon=True)
+    _, lev_s, n0, n1 = _active_ranges(lev_b, lo, hi)
+
+    # 7 independent FMA chains: 7 seed muls + 7 chains x 12 FMA rounds + a
+    # 7-add fold into the accumulator = 7 + 84 + 7 = 98 slots per
+    # (cell, level) == OPS_PER_CELL_LEVEL, optimally arranged
+    CHAINS, ROUNDS = 7, 12
+    assert CHAINS + CHAINS * ROUNDS + CHAINS == OPS_PER_CELL_LEVEL
+
+    def kernel(lev_ref, n0_ref, n1_ref, v00_ref, v01_ref, v10_ref, v11_ref,
+               it_ref, ib_ref, il_ref, out_ref, *, n_levels, n_rb_):
+        b = pl.program_id(0)
+        rb = pl.program_id(1)
+        k0 = n0_ref[b * n_rb_ + rb]
+        k1 = n1_ref[b * n_rb_ + rb]
+        panels = (v00_ref[0], v01_ref[0], v10_ref[0], v11_ref[0],
+                  it_ref[0], ib_ref[0], il_ref[0])
+        c = jnp.float32(0.9999)
+
+        def body(n, acc):
+            lev = lev_ref[b * n_levels + n]
+            zs = [p * lev for p in panels]            # 7 seed muls
+            for _ in range(ROUNDS):
+                zs = [z * c + p for z, p in zip(zs, panels)]  # 7 fused slots
+            for z in zs:                              # 7-add fold: every
+                acc = acc + z                         # chain stays live
+            return acc
+        acc = jax.lax.fori_loop(k0, k1, body,
+                                jnp.zeros_like(v00_ref[0]), unroll=False)
+        out_ref[0, :, :] = acc[0:1, :]
+
+    big = pl.BlockSpec((1, _RB, NxC), lambda b, r, *_: (b, r, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, n_rb),
+        in_specs=[big] * 7,
+        out_specs=pl.BlockSpec((1, 1, NxC), lambda b, r, *_: (b, 0, 0)),
+    )
+
+    @jax.jit
+    def run(dx_in):
+        # rebuild lev-independent panels OUTSIDE the timed kernel exactly
+        # like the real launcher; dx_in chains the timing dependency
+        return pl.pallas_call(
+            _p(kernel, n_levels=Nl, n_rb_=n_rb),
+            out_shape=jax.ShapeDtypeStruct((B, 1, NxC), data.dtype),
+            grid_spec=grid_spec,
+        )(lev_s.reshape(-1), n0.reshape(-1), n1.reshape(-1),
+          dx_in, v01, v10, v11, it, ib, il)
+    pairs = int(jnp.sum(n1 - n0))
+    return run, v00, pairs * _RB * NxC * OPS_PER_CELL_LEVEL
+
+
 def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     """Per-Pallas-kernel device time + achieved fraction of the binding
     v5e ceiling, on the real snapshot data.  Op-count models are stated in
@@ -426,9 +696,11 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     # contention (spec fractions on this tunnel vary ~2x between windows).
     BS = 512
     qs = jnp.tile(q[:32], (BS // 32, 1, 1))       # tiled ON device: the host
-    # tunnel moves ~16 MB/s, a 537 MB host-side tile would dominate the run
-    dx = jnp.asarray(rng.uniform(0.5, 1.0, (Ny, Nx)), jnp.float32)
-    dy = jnp.ones((Ny, 1), jnp.float32)
+    # tunnel moves ~16 MB/s, a 537 MB host-side tile would dominate the run.
+    # All closure CONSTANTS below are numpy (host): device-resident constants
+    # would be fetched device->host at trace time through the tunnel.
+    dx = rng.uniform(0.5, 1.0, (Ny, Nx)).astype(np.float32)
+    dy = np.ones((Ny, 1), np.float32)
     t_sten = _kernel_time_best(lambda x: squared_gradient_pallas(
         x, dx, dy, periodic_x=True, bc_y="extend"), qs,
         inner_lo=2, inner_hi=10, reps=6)
@@ -464,17 +736,25 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     # fused multiply-accumulate (the mul+add counted as ONE slot, matching
     # the header's FMA-as-1 convention — counting them separately produced
     # >100% readings in fast windows, i.e. the hardware does fuse them)
-    Q = jnp.sort(jnp.mean(q, -1), -1)
-    W = jnp.asarray(rng.uniform(0.5, 1.0, (Ny, Nx)), jnp.float32)
+    Q = np.sort(np.mean(snaps, -1).astype(np.float32), -1)
+    W = rng.uniform(0.5, 1.0, (Ny, Nx)).astype(np.float32)
     # pairwise=False: measure the linearized kernel the model describes (the
     # public kernel default is the reference-faithful pairwise form)
     t = _kernel_time_best(lambda x: lwa_pallas(x, Q, W, increase=True,
                                           pairwise=False), q)
     ops = batch * Ny * Ny * Nx * 3
+    # structure twin: identical grid/blocks/loop, same 3 slots per pair,
+    # reduction removed (see _lwa_structure_probe) — its rate is a ceiling
+    # this structure can actually reach
+    prun, pops = _lwa_structure_probe(q, np.asarray(Q, np.float32), W)
+    tp = _kernel_time_best(lambda x: prun(x)[:, :Ny, :], q)
     out["lwa"] = dict(
         ms=round(t * 1e3, 4),
         model="B*Ny^2*Nx * 3 slots (sub, clamp, fused mul-accumulate)",
-        ops=ops, t=t, achieved_tops=round(ops / t / 1e12, 2), bound="VPU")
+        ops=ops, t=t, achieved_tops=round(ops / t / 1e12, 2), bound="VPU",
+        structure_probe_ms=round(tp * 1e3, 4),
+        pct_of_structure_ceiling=round(
+            100 * (ops / t) / (pops / tp), 1))
 
     # hist (2-channel CDF): per level per element 1 cmp shared across the
     # channels + per channel one fused masked-accumulate (select+add as ONE
@@ -482,19 +762,27 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     G = Ny * Nx
     vals = q.reshape(batch, G)
     lo, hi = float(np.nanmin(snaps)), float(np.nanmax(snaps))
-    edges = jnp.asarray(np.linspace(lo, hi, N + 1)[None].repeat(batch, 0),
-                        jnp.float32)
-    wts = jnp.asarray(rng.uniform(0.5, 1.0, (batch, 2, G)), jnp.float32)
+    edges = np.linspace(lo, hi, N + 1)[None].repeat(batch, 0).astype(np.float32)
+    wts = rng.uniform(0.5, 1.0, (batch, 2, G)).astype(np.float32)
 
     def hist_k(x):
         r = histogram_pallas_multi(x, edges, wts)
         return jnp.sum(r, axis=(1, 2))[:, None]
     t = _kernel_time_best(hist_k, vals)
     ops = batch * N * G * 3
+    prun_h, pops_h = _hist_structure_probe(vals, edges, wts)
+
+    def hist_p(x):
+        r = prun_h(x)
+        return jnp.sum(r, axis=(1, 2))[:, None]
+    tp_h = _kernel_time_best(hist_p, vals)
     out["hist_cdf2"] = dict(
         ms=round(t * 1e3, 4),
         model="B*N*G * (1 shared cmp + 2 fused masked-accumulates)",
-        ops=ops, t=t, achieved_tops=round(ops / t / 1e12, 2), bound="VPU")
+        ops=ops, t=t, achieved_tops=round(ops / t / 1e12, 2), bound="VPU",
+        structure_probe_ms=round(tp_h * 1e3, 4),
+        pct_of_structure_ceiling=round(
+            100 * (ops / t) / (pops_h / tp_h), 1))
 
     # marching-squares lengths, measured-active-block model: levels are
     # sorted and each row block loops over exactly its active level range, so
@@ -502,10 +790,9 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     # OPS_PER_CELL_LEVEL (the honest slot count of _offset_block_length,
     # documented in its docstring).  Full-range levels on the real snapshot
     # make this the kernel's dense worst case.
-    levels = jnp.asarray(np.linspace(lo, hi, N)[None].repeat(batch, 0),
-                         jnp.float32)
-    ydef = jnp.asarray(np.deg2rad(lat), jnp.float32)
-    xdef = jnp.asarray(np.deg2rad(lon), jnp.float32)
+    levels = np.linspace(lo, hi, N)[None].repeat(batch, 0).astype(np.float32)
+    ydef = np.deg2rad(lat).astype(np.float32)
+    xdef = np.deg2rad(lon).astype(np.float32)
 
     def len_k(x):
         r = contour_lengths_pallas(x, levels, ydef, xdef, latlon=True)
@@ -513,11 +800,20 @@ def kernel_rooflines(lat, lon, vor, batch=32, N=121):
     t = _kernel_time_best(len_k, q, inner_lo=1, inner_hi=5, reps=4)
     pairs = int(active_pair_count(q, levels))
     ops = pairs * _RB * (Nx - 1) * OPS_PER_CELL_LEVEL
+    prun_l, v00_l, pops_l = _length_structure_probe(q, levels, ydef, xdef)
+
+    def len_p(v):
+        r = prun_l(v)                     # (B, 1, NxC)
+        return jnp.sum(r, axis=(1, 2))[:, None, None]   # chains with v00
+    tp_l = _kernel_time_best(len_p, v00_l, inner_lo=1, inner_hi=5, reps=4)
     out["length"] = dict(
         ms=round(t * 1e3, 4),
         model=(f"active_block_level_pairs({pairs}) * {_RB}*(Nx-1) cells * "
                f"{OPS_PER_CELL_LEVEL} ops (measured-active-block)"),
-        ops=ops, t=t, achieved_tops=round(ops / t / 1e12, 2), bound="VPU")
+        ops=ops, t=t, achieved_tops=round(ops / t / 1e12, 2), bound="VPU",
+        structure_probe_ms=round(tp_l * 1e3, 4),
+        pct_of_structure_ceiling=round(
+            100 * (ops / t) / (pops_l / tp_l), 1))
 
     # same-window measured VPU ceiling: the fixed probe's demonstrated
     # slot rate.  Every VPU kernel reports pct_of_measured_ceiling against
@@ -576,12 +872,14 @@ def lwa_tall(batch=4, Ny=8192, Nx=512, N=121):
     rng = np.random.default_rng(3)
     ydef = np.linspace(-89.9, 89.9, Ny)
     base = 2e-4 * np.sin(np.deg2rad(ydef))[:, None]
-    q = jnp.asarray(base[None] * (1 + 1e-3 * rng.standard_normal((batch, 1, 1)))
-                    + 2e-6 * rng.standard_normal((batch, Ny, Nx)), jnp.float32)
-    dA = jnp.asarray(np.cos(np.deg2rad(ydef))[:, None]
-                     * np.ones((1, Nx)) * 1e8, jnp.float32)
-    Q = jnp.sort(jnp.mean(q, -1), -1)
-    yd = jnp.asarray(ydef, jnp.float32)
+    qn = (base[None] * (1 + 1e-3 * rng.standard_normal((batch, 1, 1)))
+          + 2e-6 * rng.standard_normal((batch, Ny, Nx))).astype(np.float32)
+    q = jnp.asarray(qn)
+    # closure constants stay numpy (host) — no trace-time device fetches
+    dA = (np.cos(np.deg2rad(ydef))[:, None]
+          * np.ones((1, Nx)) * 1e8).astype(np.float32)
+    Q = np.sort(np.mean(qn, -1), -1)
+    yd = ydef.astype(np.float32)
 
     res = {"ny": Ny, "auto_resolves_to": _resolve_method("auto", "all", Ny),
            "crossover_ny": _FAST_NY_CROSSOVER}
@@ -598,20 +896,19 @@ def lwa_tall(batch=4, Ny=8192, Nx=512, N=121):
 def workload_matrix(lat, lon, vor):
     import jax
     import jax.numpy as jnp
-    from xcontour_tpu import grid as G
     from xcontour_tpu.pipeline import (keff_lwa_pipeline, clength_pipeline,
                                        fractal_pipeline)
     from xcontour_tpu.diagnostics.local_length import local_contour_lengths
 
     out = {}
-    grid = G.from_latlon(lat, lon, dtype=jnp.float32)
+    grid = host_latlon_grid(lat, lon)
     rng = np.random.default_rng(1)
 
     # ERA5-scale 0.25-degree grid (exercises the X-panel-blocked LWA kernel)
     NyE, NxE = 721, 1440
     latE = np.linspace(-90, 90, NyE)
     lonE = np.arange(0, 360, 0.25)
-    gridE = G.from_latlon(latE, lonE, dtype=jnp.float32)
+    gridE = host_latlon_grid(latE, lonE)
     base = (2e-4 * np.sin(np.deg2rad(latE))[:, None]
             + 4e-5 * np.sin(5 * np.deg2rad(lonE))[None, :])
     BE = 4
@@ -630,10 +927,13 @@ def workload_matrix(lat, lon, vor):
     # real archive sweeps build it once and pass it in (same convention as
     # the reference drivers, which construct the grid/metrics once)
     from xcontour_tpu import core as _core
-    maskE = gridE.fluid_mask(jnp.float32)
+    maskE = np.ones(gridE.shape, np.float32)
     tableE = _core.cal_area_eqCoord_table_hist(
-        maskE, gridE.ydef.astype(jnp.float32), gridE.dA.astype(jnp.float32),
-        increase=True, lt=True)
+        maskE, np.asarray(gridE.ydef, np.float32),
+        np.asarray(gridE.dA, np.float32), increase=True, lt=True)
+    # stepE2 closes over the table: pull its leaves to host ONCE here (a
+    # bounded setup fetch under _retry) so lowering embeds numpy constants
+    tableE = jax.tree_util.tree_map(np.asarray, tableE)
 
     @jax.jit
     def stepE2(t):
@@ -667,8 +967,7 @@ def workload_matrix(lat, lon, vor):
     # and must route through the memory-hungry broadcast path; here the bins
     # are a vmapped batch axis
     pv, latP = workload_pv_fixture()
-    gridP = G.from_latlon(latP, np.arange(0, 360, 360 / pv.shape[-1]),
-                          dtype=jnp.float32)
+    gridP = host_latlon_grid(latP, np.arange(0, 360, 360 / pv.shape[-1]))
     trP = jnp.asarray(pv, jnp.float32)
 
     def depP(t):
@@ -765,14 +1064,13 @@ def out_of_core(n_snap=4224):
     live)."""
     import jax
     import jax.numpy as jnp
-    from xcontour_tpu import grid as G
     from xcontour_tpu.pipeline import keff_lwa_pipeline
     from xcontour_tpu.runner import run_batched
 
     NyE, NxE = 721, 1440
     latE = np.linspace(-90, 90, NyE)
     lonE = np.arange(0, 360, 0.25)
-    gridE = G.from_latlon(latE, lonE, dtype=jnp.float32)
+    gridE = host_latlon_grid(latE, lonE)
     base = (2e-4 * np.sin(np.deg2rad(latE))[:, None]
             + 4e-5 * np.sin(5 * np.deg2rad(lonE))[None, :]).astype(np.float32)
     arch = _LazyEra5Archive(n_snap, base)
@@ -791,6 +1089,19 @@ def out_of_core(n_snap=4224):
     dt = time.perf_counter() - t0
     assert out["nkeff"].shape == (n_snap, 121)
     assert np.isfinite(out["nkeff"][:: n_snap // 7]).any()
+
+    # device-compute-only rate for the SAME step at the same shape: the gap
+    # between this and the streaming sps is pure wire/IO — the number that
+    # tells a pod deployment (local host DRAM) what to expect
+    resident = jnp.asarray(_LazyEra5Archive(32, base)[0:32], jnp.float32)
+
+    def dep(t):
+        o = step(t)
+        return t + 1e-30 * (o["lwa_zm"].sum(-1)[:, None, None]
+                            + o["nkeff"].sum(-1)[:, None, None]
+                            + o["Yeq"].sum(-1)[:, None, None])
+    per = device_time(dep, resident, reps=6)
+    device_compute_sps = 32 / per
 
     # the one lever this tunnel-bound path leaves: halve the wire format
     # (runner transfer_dtype).  The tunnel's rate drifts 5-43 MB/s on a
@@ -824,6 +1135,7 @@ def out_of_core(n_snap=4224):
                     / max(np.abs(la[lfin]).max(), 1e-30))
     return dict(snapshots=n_snap, input_gib=round(gib, 2),
                 wall_s=round(dt, 1), sps=round(n_snap / dt, 1),
+                device_compute_sps=round(device_compute_sps, 1),
                 f16_transfer=dict(
                     snapshots=rounds * n16,
                     sps=round(rounds * n16 / dt16, 1),
@@ -894,7 +1206,14 @@ def main(argv=None):
     write the full detail tree (op-model formulas, ceilings, workload matrix,
     out-of-core run, timing methodology) to BENCH_DETAILS.json next to this
     file.  ``--quick`` (or BENCH_QUICK=1) runs headline + kernels + baselines
-    only, < 3 min, so a driver/judge re-run completes inside a timeout."""
+    only, < 3 min, so a driver/judge re-run completes inside a timeout.
+
+    Failure contract (VERDICT r4 #1): _init_devices fails fast with a
+    parseable error line on init hangs; everything AFTER it runs under the
+    same contract — any exception emits one parseable JSON line with
+    ``value: null`` and an ``error`` field, exit 1 — and transient backend
+    faults (FAILED_PRECONDITION/UNAVAILABLE, the tunnel's outage signature)
+    are retried with geometric backoff before giving up."""
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -905,19 +1224,39 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     _init_devices(args.device_timeout)
-    lat, lon, vor = _load()
+    try:
+        return _run(args)
+    except Exception as e:  # noqa: BLE001 — ANY failure must still emit a
+        # parseable one-line artifact for the driver (round 4's capture was
+        # an uncaught traceback -> rc=1 with parsed=null)
+        print(json.dumps({
+            "metric": METRIC, "value": None, "unit": "snapshots/sec",
+            "vs_baseline": None, "error": repr(e)[:800]}))
+        sys.stdout.flush()
+        return 1
+
+
+def _run(args):
+    lat, lon, vor = _retry("load", _load)
     n_cpu = int(os.environ.get("BENCH_CPU_SNAPS", "10"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
 
-    sps = headline(lat, lon, vor, batch=batch)
-    kernels = kernel_rooflines(lat, lon, vor, batch=batch)
-    adjoint = adjoint_section(lat, lon, vor, batch=batch,
-                              era5=not args.quick)
+    sps = _retry("headline", lambda: headline(lat, lon, vor, batch=batch))
+    # the <=1e-6-faithful configuration (BASELINE.json north star tolerance):
+    # reference-exact f32 summation semantics via the pairwise 'dense' path,
+    # pinned as its own cross-round series next to the default-path headline
+    sps_dense = _retry("headline_dense", lambda: headline(
+        lat, lon, vor, batch=batch, lwa_method="dense"))
+    kernels = _retry("kernels",
+                     lambda: kernel_rooflines(lat, lon, vor, batch=batch))
+    adjoint = _retry("adjoint", lambda: adjoint_section(
+        lat, lon, vor, batch=batch, era5=not args.quick))
     tall = workloads = ooc = None
     if not args.quick:
-        tall = lwa_tall()
-        workloads = workload_matrix(lat, lon, vor)
-        ooc = out_of_core_section()
+        tall = _retry("lwa_tall", lwa_tall)
+        workloads = _retry("workloads",
+                           lambda: workload_matrix(lat, lon, vor))
+        ooc = _retry("out_of_core", out_of_core_section)
 
     oracle = cpu_oracle_sps(lat, lon, vor, n_snap=n_cpu)
     fast = cpu_numpy_fast_sps(lat, lon, vor, n_snap=n_cpu)
@@ -970,13 +1309,16 @@ def main(argv=None):
 
     compact_kernels = {
         k: {"ms": v["ms"], "pct_roofline": v["pct_roofline"],
-            "pct_meas": v["pct_of_measured_ceiling"]}
+            "pct_meas": v["pct_of_measured_ceiling"],
+            **({"pct_struct": v["pct_of_structure_ceiling"]}
+               if "pct_of_structure_ceiling" in v else {})}
         for k, v in kernels.items() if k not in ("ceilings", "contention")}
     line = {
         "metric": METRIC,
         "value": round(sps, 1),
         "unit": "snapshots/sec",
         "vs_baseline": round(sps / oracle, 2),
+        "headline_dense_sps": round(sps_dense, 1),
         "baselines": {"oracle_f64_sps": round(oracle, 3),
                       "numpy_fast_f32_sps": round(fast, 3),
                       "vs_numpy_fast": round(sps / fast, 2)},
@@ -985,6 +1327,16 @@ def main(argv=None):
         "mode": details["mode"],
         "details": "BENCH_DETAILS.json",
     }
+    # pinned-denominator ratios: the live oracle reading swings ~3x with
+    # host load; the committed quiet-window medians make the cross-round
+    # speedup series comparable (VERDICT r4 #5)
+    if PINNED_ORACLE_SPS:
+        line["vs_baseline_pinned"] = round(sps / PINNED_ORACLE_SPS, 2)
+        line["baselines"]["pinned_oracle_f64_sps"] = PINNED_ORACLE_SPS
+    if PINNED_NUMPY_FAST_SPS:
+        line["baselines"]["pinned_numpy_fast_f32_sps"] = PINNED_NUMPY_FAST_SPS
+        line["baselines"]["vs_numpy_fast_pinned"] = round(
+            sps / PINNED_NUMPY_FAST_SPS, 2)
     if tall is not None:
         line["lwa_tall"] = {"ny": tall["ny"], "fast_ms": tall["fast_ms"],
                             "lin_ms": tall["lin_ms"],

@@ -57,6 +57,67 @@ def test_table_lookup_roundtrip(an):
     np.testing.assert_allclose(np.asarray(back), np.asarray(coords), atol=1e-6)
 
 
+def test_table_mixed_direction_batch_raises(an):
+    """A batch whose elements disagree on table direction must raise, like
+    the reference's "not every time or level is increasing/decreasing"
+    (core.py:1122-1134) — instead of silently sniffing element 0."""
+    vals = jnp.asarray(np.stack([np.linspace(0.0, 1.0, 8),
+                                 np.linspace(1.0, 0.0, 8)]))
+    table = core.Table(values=vals, coords=jnp.asarray(np.linspace(-80, 80, 8)))
+    with pytest.raises(ValueError, match="increasing/decreasing"):
+        table.lookup_coordinates(jnp.asarray([0.5]))
+    # the checkify twin fires the same guard for in-jit use
+    import jax
+    from jax.experimental import checkify
+
+    def f(v):
+        t = core.Table(values=v, coords=table.coords)
+        t.check_direction()
+        return t.values.sum()
+
+    err, _ = checkify.checkify(jax.jit(f))(vals)
+    with pytest.raises(Exception, match="increasing/decreasing"):
+        err.throw()
+    # a uniform batch passes both guards
+    ok = jnp.asarray(np.stack([np.linspace(0.0, 1.0, 8),
+                               np.linspace(0.1, 2.0, 8)]))
+    core.Table(values=ok, coords=table.coords).lookup_coordinates(
+        jnp.asarray([0.5]))
+    err, _ = checkify.checkify(jax.jit(f))(ok)
+    err.throw()
+
+
+def test_interp_to_coords_axis(an, rng):
+    """interp_to_coords(axis=) — the reference's interpDim= generality
+    (core.py:1050): interpolating along a non-last axis equals moving that
+    axis last, interpolating, and moving back."""
+    B, N, K = 3, 17, 5
+    eq = np.sort(rng.uniform(-60, 60, size=(B, N)), axis=-1)
+    var = rng.normal(size=(B, N))
+    pre = jnp.asarray(np.linspace(-50, 50, 9))
+    want = core.interp_to_coords(pre, jnp.asarray(eq), jnp.asarray(var))
+    # put the interp axis in the middle: (B, N, K) with interp along axis -2
+    eq3 = np.repeat(eq[:, :, None], K, axis=2)
+    var3 = np.repeat(var[:, :, None], K, axis=2)
+    got = core.interp_to_coords(pre, jnp.asarray(eq3), jnp.asarray(var3),
+                                axis=-2)
+    assert got.shape == (B, 9, K)
+    for k in range(K):
+        np.testing.assert_allclose(np.asarray(got[:, :, k]),
+                                   np.asarray(want), rtol=1e-12)
+    # non-negative axis with equal ranks works; rank mismatch is rejected
+    got_pos = core.interp_to_coords(pre, jnp.asarray(eq3), jnp.asarray(var3),
+                                    axis=1)
+    np.testing.assert_allclose(np.asarray(got_pos), np.asarray(got), rtol=0)
+    with pytest.raises(ValueError, match="ambiguous"):
+        core.interp_to_coords(pre, jnp.asarray(eq), jnp.asarray(var3), axis=1)
+    # facade passes axis through
+    a = an[4]
+    got_f = a.interp_to_coords(pre, jnp.asarray(eq3), jnp.asarray(var3),
+                               axis=-2)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(got), rtol=0)
+
+
 def test_cal_contours_at(an):
     """Contours at prescribed equivalent latitudes: looking their areas up
     again lands near the prescribed coordinates (reference core.py:269-360).

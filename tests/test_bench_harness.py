@@ -1,0 +1,127 @@
+"""Failure-contract tests for the bench harness (VERDICT r4 #1).
+
+Round 4's driver capture was an uncaught FAILED_PRECONDITION traceback
+(rc=1, parsed=null).  The contract under test: (a) ANY mid-run exception
+still emits ONE parseable JSON line with value=null and an error field and a
+nonzero exit; (b) transient backend faults (the tunnel's outage signature)
+are retried with backoff before giving up; (c) the bench/entry grids carry
+HOST leaves so no jit trace can fetch device constants through the tunnel.
+"""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def test_midrun_fault_emits_parseable_error_line(monkeypatch, capsys):
+    """A mid-run backend fault (the exact round-4 failure mode) must still
+    produce a parseable one-line JSON artifact and exit nonzero."""
+    monkeypatch.setenv("BENCH_RETRIES", "1")
+
+    def boom(*a, **k):
+        raise _Boom("FAILED_PRECONDITION: TPU backend error (simulated)")
+
+    monkeypatch.setattr(bench, "headline", boom)
+    rc = bench.main(["--quick"])
+    assert rc == 1
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE parseable line, got {lines}"
+    parsed = json.loads(lines[0])
+    assert parsed["value"] is None
+    assert parsed["vs_baseline"] is None
+    assert "FAILED_PRECONDITION" in parsed["error"]
+    assert parsed["metric"] == bench.METRIC
+
+
+def test_nonbackend_fault_also_emits_line(monkeypatch, capsys):
+    """The contract covers ANY exception, not just backend faults."""
+    monkeypatch.setattr(bench, "_load", lambda: (_ for _ in ()).throw(
+        ValueError("corrupt fixture (simulated)")))
+    rc = bench.main(["--quick"])
+    assert rc == 1
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parsed["value"] is None and "corrupt fixture" in parsed["error"]
+
+
+def test_retry_heals_transient_fault(monkeypatch):
+    """UNAVAILABLE/FAILED_PRECONDITION faults retry with geometric backoff
+    and succeed when the tunnel heals."""
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise _Boom("UNAVAILABLE: Socket closed (simulated outage)")
+        return 42
+
+    assert bench._retry("test", flaky, attempts=3, backoff_s=7.0) == 42
+    assert calls["n"] == 3
+    assert sleeps == [7.0, 14.0]          # geometric backoff
+
+
+def test_retry_does_not_mask_nontransient(monkeypatch):
+    """Deterministic errors must propagate immediately — retrying a
+    configuration error just burns the schedule."""
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: pytest.fail("slept on a non-transient"))
+    calls = {"n": 0}
+
+    def broken():
+        calls["n"] += 1
+        raise ValueError("bad config (simulated)")
+
+    with pytest.raises(ValueError, match="bad config"):
+        bench._retry("test", broken, attempts=3)
+    assert calls["n"] == 1
+
+
+def test_retry_exhausts_then_raises(monkeypatch):
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    calls = {"n": 0}
+
+    def down():
+        calls["n"] += 1
+        raise _Boom("DEADLINE_EXCEEDED (simulated)")
+
+    with pytest.raises(_Boom):
+        bench._retry("test", down, attempts=3)
+    assert calls["n"] == 3
+
+
+def test_bench_grid_leaves_are_host_arrays():
+    """The grids every jitted bench step closes over must have numpy leaves:
+    device-resident leaves are fetched device->host at TRACE time, the
+    tunnel exposure that killed round 4's capture."""
+    import jax
+    lat = np.linspace(-80, 80, 9)
+    lon = np.linspace(0, 315, 8)
+    g = bench.host_latlon_grid(lat, lon)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves, "grid pytree has no leaves?"
+    for leaf in leaves:
+        assert isinstance(leaf, np.ndarray), type(leaf)
+
+
+def test_entry_grid_leaves_are_host_arrays():
+    import jax
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    import jax.numpy as jnp
+    grid, vor = ge._load_case(jnp.float32)
+    for leaf in jax.tree_util.tree_leaves(grid):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+    # and the forward step still compiles and runs on these host constants
+    fn, args = ge.entry()
+    nk, lwa = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(nk)).any()

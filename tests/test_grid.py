@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from xcontour_tpu import grid as G
 from xcontour_tpu.utils.constants import Rearth
@@ -73,14 +74,18 @@ def test_descending_latitude_metrics_positive():
     lat_a = np.linspace(-88.0, 88.0, 23)
     lon = np.arange(16) * 22.5
     up = G.from_latlon(lat_a, lon, dtype=jnp.float64)
-    dn = G.from_latlon(lat_a[::-1].copy(), lon, dtype=jnp.float64)
+    # the descending-orientation warning is the POINT of these inputs —
+    # assert it fires instead of letting it pollute the suite summary
+    with pytest.warns(UserWarning, match="DESCENDING"):
+        dn = G.from_latlon(lat_a[::-1].copy(), lon, dtype=jnp.float64)
     for name in ("dyF", "dxF", "dA"):
         v = np.asarray(getattr(dn, name))
         assert (v >= 0).all(), name
         np.testing.assert_allclose(v, np.asarray(getattr(up, name))[::-1],
                                    rtol=1e-12, err_msg=name)
-    legacy = G.from_latlon(lat_a[::-1].copy(), lon, exact_area=False,
-                           dtype=jnp.float64)
+    with pytest.warns(UserWarning, match="DESCENDING"):
+        legacy = G.from_latlon(lat_a[::-1].copy(), lon, exact_area=False,
+                               dtype=jnp.float64)
     assert (np.asarray(legacy.dA) > 0).all()
 
 

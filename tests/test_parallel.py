@@ -30,6 +30,50 @@ def test_sharded_cdf_matches_single(mesh, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
 
 
+def test_sharded_exact_sort_matches_single(mesh, rng):
+    """Sharded exact-sort CDF (SURVEY §2.4 'global sort = local sort +
+    merge'): local sort + prefix per X slab, psum of the N level sums over
+    ICI == the single-device ops/sort.py engine at f64.  Scales reference
+    core.py:363-409 exactly."""
+    from xcontour_tpu.parallel import sharded_exact_conditional_integral
+    from xcontour_tpu.ops.sort import exact_conditional_integral
+    B, Ny, Nx = 8, 32, 64
+    v = rng.normal(size=(B, Ny, Nx)).astype(np.float64)
+    v[0, 3, 5] = np.nan                       # NaN values contribute nothing
+    w = rng.uniform(0.5, 2.0, size=(Ny, Nx)).astype(np.float64)
+    tr = jax.device_put(jnp.asarray(v), shard_batch_spec(mesh, 3))
+    for lt in (True, False):
+        # replicated (N,) bins and per-batch (B, N) bins, both directions
+        bins_r = np.linspace(np.nanmin(v), np.nanmax(v), 21)
+        bins_b = np.stack([np.linspace(np.nanmin(v[i]), np.nanmax(v[i]), 21)
+                           for i in range(B)])
+        for bins in (bins_r, bins_b[:, ::-1].copy(), bins_b):
+            got = sharded_exact_conditional_integral(
+                tr, jnp.asarray(bins), jnp.asarray(w), lt, mesh)
+            want = exact_conditional_integral(
+                jnp.asarray(v), jnp.asarray(bins), jnp.asarray(w), lt)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-12,
+                                       err_msg=f"lt={lt} bins{bins.shape}")
+
+
+def test_sharded_exact_sort_matches_broadcast_oracle(mesh, rng):
+    """And against the strict-comparison broadcast path (the reference's
+    definition), not just the single-device sort twin."""
+    from xcontour_tpu.parallel import sharded_exact_conditional_integral
+    from xcontour_tpu.core import cal_integral_within_contours
+    B, Ny, Nx = 8, 16, 32
+    v = rng.normal(size=(B, Ny, Nx)).astype(np.float64)
+    dA = rng.uniform(0.5, 2.0, size=(Ny, Nx)).astype(np.float64)
+    bins = np.linspace(v.min() - 0.1, v.max() + 0.1, 13)
+    tr = jax.device_put(jnp.asarray(v), shard_batch_spec(mesh, 3))
+    got = sharded_exact_conditional_integral(
+        tr, jnp.asarray(bins), jnp.asarray(dA), True, mesh)
+    want = cal_integral_within_contours(jnp.asarray(v), jnp.asarray(bins),
+                                        jnp.asarray(dA), lt=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+
+
 def test_sharded_pipeline_matches_unsharded(mesh, rng):
     """GSPMD: the full combined Keff+LWA step gives identical results when its
     inputs are sharded (batch x spatial) over the mesh."""

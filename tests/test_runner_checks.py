@@ -269,6 +269,27 @@ def test_transfer_dtype_range_guard(rng):
     run_batched(jax.jit(_step), masked, transfer_dtype=np.float16, **kw)
 
 
+def test_wire_range_error_is_not_retried_or_skipped(rng):
+    """ADVICE r4 #1: a deterministic out-of-range chunk is a CONFIGURATION
+    error (mis-scaled variable) — it must abort immediately, not burn the
+    retries+backoff schedule, and on_error='skip' must NOT degrade it into
+    NaN-filled/failed chunks."""
+    from xcontour_tpu.runner import WireRangeError
+    base = rng.normal(size=(4, 8, 16)).astype(np.float32) * 1e5
+    sleeps = []
+    import xcontour_tpu.runner as R
+    orig_sleep = R.time.sleep
+    R.time.sleep = sleeps.append
+    try:
+        with pytest.raises(WireRangeError, match="overflow"):
+            run_batched(jax.jit(_step), base, batch=4, log=lambda s: None,
+                        transfer_dtype=np.float16, retries=3,
+                        on_error="skip")
+    finally:
+        R.time.sleep = orig_sleep
+    assert sleeps == [], "config error must not enter the backoff schedule"
+
+
 def test_wire_upcaster_shared_across_runs():
     """The device-side bitcast+upcast program must be cached at module level:
     a fresh jitted closure per run_batched call would recompile per call —

@@ -41,8 +41,12 @@ def contours_linspace(tracer: np.ndarray, N: int, increase: bool = True) -> np.n
     mmin = np.nanmin(tracer)
     mmax = np.nanmax(tracer)
     start, end = (mmin, mmax) if increase else (mmax, mmin)
-    steps = (end - start) / (N - 1.0)
-    levels = steps * np.arange(N) + start
+    # N == 1 / all-NaN inputs produce inf/NaN levels by design (reference
+    # semantics); scope the errstate so expected degenerates don't bury real
+    # regressions in pytest warning noise
+    with np.errstate(divide="ignore", invalid="ignore"):
+        steps = (end - start) / (N - 1.0)
+        levels = steps * np.arange(N) + start
     # pin the endpoint exactly (np.linspace semantics); the reference's open
     # formula can drop the extreme cell from every >=-CDF by 1 ulp
     levels[-1] = end
@@ -183,9 +187,12 @@ def table_lookup_values(table_values: np.ndarray, coords: np.ndarray,
 def gradient_wrt_area(var: np.ndarray, area: np.ndarray) -> np.ndarray:
     """Centered derivative along the uniform contour index, edge one-sided —
     xarray's .differentiate('contour') == np.gradient with unit spacing
-    (core.py:479-483)."""
-    return np.gradient(np.asarray(var, np.float64), axis=-1) / \
-        np.gradient(np.asarray(area, np.float64), axis=-1)
+    (core.py:479-483).  Flat-area stretches divide 0/0 -> NaN by design
+    (reference semantics); errstate-scoped so the expected degenerates stay
+    out of the pytest warning summary."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.gradient(np.asarray(var, np.float64), axis=-1) / \
+            np.gradient(np.asarray(area, np.float64), axis=-1)
 
 
 def interp_to_coords(predef: np.ndarray, eq_coords: np.ndarray,

@@ -131,7 +131,27 @@ class Table:
 
     def _inc_values(self):
         v = self.values.reshape((-1, self.values.shape[-1]))
-        return v[0, -1] > v[0, 0]
+        inc = v[:, -1] > v[:, 0]
+        # Mixed-direction batches produce wrong lookups; the reference raises
+        # "not every time or level is increasing/decreasing"
+        # (core.py:1122-1134).  With concrete values the same guard fires
+        # eagerly here; under jit, direction is sniffed from element 0 like
+        # before (a data-dependent raise cannot live in a trace) — checked
+        # pipelines call :meth:`check_direction` for the checkify guard.
+        if not isinstance(inc, jax.core.Tracer):
+            arr = np.asarray(inc)
+            if arr.size > 1 and not (arr == arr[0]).all():
+                raise ValueError(
+                    "Table: not every batch element (time/level) is "
+                    "increasing/decreasing — mixed-direction table values "
+                    "(reference core.py:1122-1134)")
+        return inc[0]
+
+    def check_direction(self) -> None:
+        """checkify twin of the ctor-time mixed-direction guard, for tables
+        built inside jit: add to a checkify.checkify-wrapped pipeline."""
+        from .utils.checks import check_uniform_direction
+        check_uniform_direction(self.values, axis=-1, name="Table values")
 
     def lookup_coordinates(self, values: jax.Array) -> jax.Array:
         """Given values (y), return coordinates (x) (core.py:1136-1174)."""
@@ -351,14 +371,31 @@ def get_extrema_extend(data, N: int):
 # ---------------------------------------------------------------------------
 # contour-space -> coordinate-space interpolation — core.py:269-360, 1017-1100
 # ---------------------------------------------------------------------------
-def interp_to_coords(predef, eq_coords, var, increasing=None):
+def interp_to_coords(predef, eq_coords, var, increasing=None, axis: int = -1):
     """Remap a contour-indexed variable onto prescribed coordinate values
     (core.py:1050-1100).  Direction is sniffed from the first batch element
-    like the reference (core.py:1079-1088) unless given."""
+    like the reference (core.py:1079-1088) unless given.
+
+    ``axis`` is the interpolation axis in BOTH ``eq_coords`` and ``var`` —
+    the functional analogue of the reference's ``interpDim`` name parameter
+    (core.py:1050, default ``'contour'`` == the last axis here).  A negative
+    axis counts from the end of each array (so it works when their ranks
+    differ); a non-negative axis requires equal ranks."""
+    if axis != -1:
+        if axis >= 0 and eq_coords.ndim != var.ndim:
+            raise ValueError(
+                "interp_to_coords: a non-negative axis is ambiguous when "
+                f"eq_coords (ndim {eq_coords.ndim}) and var (ndim {var.ndim}) "
+                "differ in rank; use a negative axis")
+        eq_coords = jnp.moveaxis(eq_coords, axis, -1)
+        var = jnp.moveaxis(var, axis, -1)
     if increasing is None:
         flat = eq_coords.reshape((-1, eq_coords.shape[-1]))
         increasing = flat[0, 0] < flat[0, -1]
-    return interp1d(predef, eq_coords, var, increasing=increasing)
+    out = interp1d(predef, eq_coords, var, increasing=increasing)
+    if axis != -1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
 
 
 def cal_contours_at(predef, table: Table, tracer, dA, *, increase: bool,
@@ -574,8 +611,10 @@ class Contour2D:
                                self.tracer, self.dA, increase=self.increase,
                                lt=self.lt, method="exact")
 
-    def interp_to_coords(self, predef, eq_coords, var):
-        return interp_to_coords(jnp.asarray(predef, self.dtype), eq_coords, var)
+    def interp_to_coords(self, predef, eq_coords, var, axis: int = -1):
+        """``axis`` mirrors the reference's ``interpDim=`` (core.py:1050)."""
+        return interp_to_coords(jnp.asarray(predef, self.dtype), eq_coords,
+                                var, axis=axis)
 
     def interp_to_dataset(self, predef, eq_coords, vs: dict,
                           batch_dims: tuple = (), batch_coords: dict = None):

@@ -230,6 +230,19 @@ def from_metrics(ydef, xdef, dA, dxF=None, dyF=None, mask=None,
         dim_names=dim_names, latlon=latlon, periodic_x=periodic_x)
 
 
+def to_host(grid: Grid) -> Grid:
+    """The same grid with HOST (numpy) leaves.
+
+    A jitted function that *closes over* a grid embeds its metric arrays as
+    trace-time constants; when those leaves are device-resident, XLA's
+    constant handler fetches each one device->host during lowering — through
+    this image's remote tunnel that is slow and can kill the trace outright
+    (it cost round 4 its driver bench capture).  Numpy leaves embed with no
+    device traffic at all.  Grids passed as jit *arguments* don't need this
+    (they are traced, not embedded)."""
+    return jax.tree_util.tree_map(np.asarray, grid)
+
+
 def equivalent_latitudes(areas, Rearth: float = _REARTH):
     """lat_eq from contour-enclosed area: 2*pi*R^2*(sin(latEq)+1) = area,
     clipped into [-1, 1] (reference utils.py:491-515)."""

@@ -112,7 +112,18 @@ def make_hybrid_mesh(axis_names: Sequence[str] = ("batch", "x"),
             arr = mesh_utils.create_hybrid_device_mesh(
                 (local // x_size, x_size), (n_slices, 1), devices=devs,
                 process_is_granule=True)
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — expected for backends with
+            # no device coords (CPU/virtual devices fall back silently); on
+            # REAL accelerators a genuine topology/misconfiguration error
+            # would otherwise silently degrade ICI placement to enumeration
+            # order, so name it there (ADVICE r4 #3)
+            if any(d.platform != "cpu" for d in devs):
+                import warnings
+                warnings.warn(
+                    "make_hybrid_mesh: topology-aware placement unavailable "
+                    f"({type(e).__name__}: {e}); falling back to "
+                    "enumeration-order device layout — check the mesh shape "
+                    "against the physical ICI topology", stacklevel=2)
             arr = hybrid_device_array(devs, x_size, slice_of=slice_of)
     else:
         arr = hybrid_device_array(devs, x_size, slice_of=slice_of)

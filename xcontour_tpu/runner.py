@@ -7,8 +7,9 @@ aux-subsystem plan from SURVEY.md §5:
 
 * fixed-size batching (one compiled program reused for every chunk; a padded
   tail chunk avoids a second compilation);
-* host->device transfer of chunk k+1 overlapped with compute on chunk k
-  (device_put is async; the block happens only on result fetch);
+* two-stage prefetch: host read/decode of chunk k+2 (own thread) overlaps
+  the host->device transfer of chunk k+1 (own thread) overlaps compute on
+  chunk k — read, wire, and device all stay busy;
 * idempotent per-chunk outputs: each chunk writes `<stem>_ck{k:05d}.npz` and
   is skipped when the file already exists, giving snapshot-granular
   checkpoint/resume for free;
@@ -64,6 +65,14 @@ def _wire_upcaster(wire_name: str, full_name: str):
                    .astype(full))
 
 
+class WireRangeError(ValueError):
+    """``transfer_dtype`` cannot represent the data — a CONFIGURATION error
+    (mis-scaled variable), deterministic on every retry.  The runner always
+    re-raises it immediately: burning the retry/backoff schedule cannot heal
+    it, and ``on_error='skip'`` must not degrade a config error into
+    silently NaN-filled/failed chunks."""
+
+
 def _check_wire_range(arr: np.ndarray, wire) -> None:
     """Guard a transfer_dtype cast against silent range failure: values past
     the wire dtype's max become inf, and a chunk whose whole magnitude sits
@@ -81,13 +90,13 @@ def _check_wire_range(arr: np.ndarray, wire) -> None:
         fin = arr[np.isfinite(arr)]  # judge only the finite values
         m = float(np.max(np.abs(fin))) if fin.size else 0.0
     if m > float(fi.max):
-        raise ValueError(
+        raise WireRangeError(
             f"transfer_dtype {np.dtype(wire)} cannot carry this chunk: "
             f"|values| reach {m:.4g} > its max {float(fi.max):.4g}, the "
             "wire cast would overflow to inf — rescale the variable "
             "(CLI: --scale-var) or drop the transfer compression")
     if 0.0 < m < float(fi.tiny):
-        raise ValueError(
+        raise WireRangeError(
             f"transfer_dtype {np.dtype(wire)} cannot carry this chunk: "
             f"|values| peak at {m:.4g} < its smallest normal "
             f"{float(fi.tiny):.4g}, so the whole chunk lands in subnormals "
@@ -203,11 +212,15 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
     nvalids: List[int] = []
     failures: List[int] = []
 
-    # pre-issue the first transfer; subsequent transfers overlap compute.
-    # device_put goes straight from the host array to the (sharded) devices —
-    # one transfer; routing through jnp.asarray would commit the whole chunk
-    # to the default device first and pay a second resharding copy.
-    def chunk_array(k):
+    # two-stage prefetch pipeline (read || transfer || compute): the host
+    # read/decode (+ wire cast) of chunk k+2 runs on its own thread WHILE the
+    # transfer of chunk k+1 is on the wire and chunk k computes.  With read
+    # and transfer on ONE thread (rounds 2-4) they serialized against each
+    # other, so the tunnel idled during every decode — on this image's
+    # ~16 MB/s link that was the remaining overlap left on the table.
+    def read_chunk(k):
+        """Stage 1 (read thread): slice + pad + optional wire narrowing —
+        ALL host-side work, no device traffic."""
         lo = k * batch
         hi = min(lo + batch, T)
         arr = np.asarray(snapshots[lo:hi])
@@ -219,7 +232,21 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
             # ship the narrowed bits as an int view (see docstring);
             # astype returns a fresh contiguous array, so the view is free
             arr = arr.astype(transfer_dtype).view(wire_int)
-        return jax.device_put(arr, sharding), hi - lo
+        return arr, hi - lo
+
+    def ship(read_fut):
+        """Stage 2 (transfer thread): host->device.  device_put goes straight
+        from the host array to the (sharded) devices — one transfer; routing
+        through jnp.asarray would commit the whole chunk to the default
+        device first and pay a second resharding copy."""
+        arr, nvalid = read_fut.result()
+        return jax.device_put(arr, sharding), nvalid
+
+    def chunk_array(k):
+        """Composed read+ship, for the retry re-read path (runs on the
+        transfer thread; the read still routes through the read thread so
+        the source is only ever touched by one thread)."""
+        return ship(read_pool.submit(read_chunk, k))
 
     def attempt(dev, nvalid):
         out = step(dev)
@@ -250,23 +277,25 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
                 return k
         return None
 
-    # double buffer on a background thread: the (possibly lazy/disk-backed)
-    # snapshot read of chunk k+1 runs WHILE chunk k computes — without it
-    # the read serializes against compute and out-of-core wall-clock becomes
-    # sum(read)+sum(compute) instead of max().  One worker: sources are
-    # touched by at most one thread at a time (h5py is not thread-safe for
-    # concurrent access, sequential handoff is fine).
+    # one single-worker pool per pipeline stage: each source/resource is
+    # only ever touched by ONE thread (h5py is not thread-safe for
+    # concurrent access; transfers serialize on the wire anyway), and the
+    # stages overlap — read(k+2) || transfer(k+1) || compute(k).
     from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(max_workers=1)
+    read_pool = ThreadPoolExecutor(max_workers=1)
+    ship_pool = ThreadPoolExecutor(max_workers=1)
 
     try:
-        todo = next_todo(0)
-        pending = (todo, pool.submit(chunk_array, todo)) \
-            if todo is not None else (None, None)
+        k1 = next_todo(0)
+        k2 = next_todo(k1 + 1) if k1 is not None else None
+        pending_ship = (k1, ship_pool.submit(chunk_array, k1)) \
+            if k1 is not None else (None, None)
+        pending_read = (k2, read_pool.submit(read_chunk, k2)) \
+            if k2 is not None else (None, None)
         for k in range(nchunk):
             nvalids.append(nvalid_of(k))
             path = f"{out_stem}_ck{k:05d}.npz" if out_stem else None
-            if pending[0] != k:
+            if pending_ship[0] != k:
                 log(f"[runner] chunk {k + 1}/{nchunk}: exists, skipped")
                 continue
             # a prefetch-thread read failure (transient disk/HDF5 error on
@@ -275,25 +304,36 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
             # archive run at .result()
             dev, nvalid = None, nvalid_of(k)
             try:
-                dev, nvalid = pending[1].result()
+                dev, nvalid = pending_ship[1].result()
+            except WireRangeError:
+                raise  # config error: deterministic, never heals (see class)
             except Exception as e:  # noqa: BLE001 — re-read under retries
                 log(f"[runner] chunk {k + 1}/{nchunk}: prefetch read "
                     f"failed ({e}); re-reading under the retry policy")
-            nxt = next_todo(k + 1)
-            pending = (nxt, pool.submit(chunk_array, nxt)) \
-                if nxt is not None else (None, None)
+            # promote the decoded chunk to the transfer stage and start the
+            # read after it — the two stages advance independently
+            if pending_read[0] is not None:
+                rk, rf = pending_read
+                pending_ship = (rk, ship_pool.submit(ship, rf))
+                nxt = next_todo(rk + 1)
+                pending_read = (nxt, read_pool.submit(read_chunk, nxt)) \
+                    if nxt is not None else (None, None)
+            else:
+                pending_ship = (None, None)
 
             t0 = time.perf_counter()
             out_np, last_err = None, None
             for a in range(retries + 1):
                 try:
                     if dev is None:  # prefetch (or a prior re-read) failed;
-                        # go through the pool: the source must only ever be
-                        # touched by one thread (h5py), and the worker may
-                        # already be prefetching chunk k+1
-                        dev, nvalid = pool.submit(chunk_array, k).result()
+                        # go through the pools: the source must only ever be
+                        # touched by one thread (h5py), and the workers may
+                        # already be prefetching later chunks
+                        dev, nvalid = ship_pool.submit(chunk_array, k).result()
                     out_np = attempt(dev, nvalid)
                     break
+                except WireRangeError:
+                    raise  # config error: retrying/skipping cannot heal it
                 except Exception as e:  # noqa: BLE001 — isolate any failure
                     last_err = e
                     if a < retries:
@@ -333,7 +373,8 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
             else:
                 collected.append(out_np)
     finally:
-        pool.shutdown(wait=True)
+        ship_pool.shutdown(wait=True)
+        read_pool.shutdown(wait=True)
 
     if failures:
         log(f"[runner] {len(failures)}/{nchunk} chunks failed: {failures}")

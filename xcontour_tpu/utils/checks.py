@@ -24,6 +24,22 @@ def check_monotonic(var: jax.Array, axis: int = -1, name: str = "var") -> None:
                    f"axis {axis} (zero difference found)")
 
 
+def check_uniform_direction(var: jax.Array, axis: int = -1,
+                            name: str = "var") -> None:
+    """checkify assertion: every batch element runs the same monotonic
+    direction along ``axis`` — the reference's explicit table-direction error
+    ("not every time or level is increasing/decreasing",
+    core.py:1122-1134).  Use inside a checkify.checkify-wrapped function;
+    eagerly (outside jit) it raises immediately."""
+    v = jnp.moveaxis(var, axis, -1)
+    v = v.reshape((-1, v.shape[-1]))
+    inc = v[:, -1] > v[:, 0]
+    checkify.check(jnp.all(inc == inc[0]),
+                   f"{name}: not every batch element is "
+                   f"increasing/decreasing along axis {axis} "
+                   "(mixed-direction batch)")
+
+
 def check_finite(var: jax.Array, name: str = "var",
                  allow_nan_frac: float = 0.0) -> None:
     """checkify assertion that the non-finite fraction stays below a bound."""

@@ -15,6 +15,7 @@ No xarray semantics are emulated beyond named dimensions.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, Tuple
 
@@ -158,7 +159,13 @@ def load_dataset(path: str, lazy: bool = False) -> Dataset:
     ``lazy=True`` defers variable reads: HDF5 variables stay h5py datasets,
     classic files are memory-mapped — slicing reads only the touched range,
     so archives larger than host memory can stream (the batch CLI's input
-    mode).  The open file handle lives as long as the returned Dataset."""
+    mode).  The open file handle lives as long as the returned Dataset.
+
+    A missing path raises plain :class:`FileNotFoundError` (the standard
+    library contract); the combined two-reader :class:`ValueError` is
+    reserved for files that EXIST but parse in neither format."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"netCDF file not found: {path}")
     try:
         return _load_h5(path, lazy)
     except OSError as e_h5:
