@@ -430,7 +430,8 @@ def test_grad_safe_div_primal_matches_raw_division(rng):
                        jnp.inf, 1.0, jnp.inf])
     den = jnp.asarray([2.0, 0.0, 0.0, 1.0, jnp.nan, 0.0,
                        2.0, jnp.inf, jnp.inf])
-    raw = np.asarray(num) / np.asarray(den)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        raw = np.asarray(num) / np.asarray(den)   # 0/0, x/0 on purpose
     out = np.asarray(_grad_safe_div(num, den))
     np.testing.assert_array_equal(out, raw)
 
@@ -446,8 +447,10 @@ def test_grad_safe_div_primal_matches_raw_division(rng):
     # where den**2 under/overflows (primal inf with den != 0)
     num2 = jnp.asarray([1.0, 1.0, jnp.inf, 2.0], jnp.float32)
     den2 = jnp.asarray([1e-25, 1.0, jnp.inf, 3.0], jnp.float32)
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        want2 = np.asarray(num2) / np.asarray(den2) ** 2   # inf/inf -> NaN
     np.testing.assert_array_equal(np.asarray(_grad_safe_div_sq(num2, den2)),
-                                  np.asarray(num2) / np.asarray(den2) ** 2)
+                                  want2)
 
     def loss2(a, b):
         o = _grad_safe_div_sq(a, b)

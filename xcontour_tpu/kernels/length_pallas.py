@@ -72,7 +72,8 @@ def _asin_small(z):
 
 
 def _offset_block_length(lev, v00, v01, v10, v11, it, ib, il, ir,
-                         cy, sy, dyr, dxc, valid, latlon: bool):
+                         cy, sy, dyr, dxc, valid, latlon: bool,
+                         reduce: bool = True):
     """Sum of in-cell segment lengths for one level over a corner-panel block.
 
     Endpoint positions are carried as (olat, olon) OFFSETS from the cell's
@@ -143,6 +144,31 @@ def _offset_block_length(lev, v00, v01, v10, v11, it, ib, il, ir,
 
     p1 = sel(horiz, lef, sel(iso10 | iso11, bot, top))
     q1 = sel(iso00 | iso10 | sad_main, lef, sel(verti, bot, rig))
+    if reduce == "rows":
+        # row_acc mode: reduce over SUBLANES only (a 4-step tree for RB=16),
+        # leaving a (NxC,) lane vector the caller accumulates into a
+        # per-level scratch row — the per-level cross-lane reduce chain and
+        # the one-hot flush disappear (lanes fold once per batch element)
+        cnt = jnp.sum(jnp.where(exists1, seglen(p1, q1), 0.0), axis=0)
+
+        def with_saddle_rows():
+            q2 = sel(sad_main, rig, lef)
+            return jnp.sum(jnp.where(saddle, seglen(bot, q2), 0.0), axis=0)
+        return cnt + jax.lax.cond(jnp.any(saddle), with_saddle_rows,
+                                  lambda: jnp.zeros_like(cnt))
+    if not reduce:
+        # measurement mode (bench op-mix structure probe): the identical
+        # per-cell math, returned as the (RB, NxC) panel WITHOUT the
+        # full-panel reduction — isolates the reduce+one-hot serialization
+        # cost from the op mix.  Production callers use reduce=True, whose
+        # two-sum order is preserved bit-for-bit below.
+        main = jnp.where(exists1, seglen(p1, q1), 0.0)
+
+        def with_saddle_panel():
+            q2 = sel(sad_main, rig, lef)
+            return jnp.where(saddle, seglen(bot, q2), 0.0)
+        return main + jax.lax.cond(jnp.any(saddle), with_saddle_panel,
+                                   lambda: jnp.zeros_like(main))
     cnt = jnp.sum(jnp.where(exists1, seglen(p1, q1), 0.0))
 
     def with_saddle():
@@ -162,7 +188,8 @@ OPS_PER_CELL_LEVEL = 98
 def _kernel(lev_ref, n0_ref, n1_ref, v00_ref, v01_ref, v10_ref, v11_ref,
             it_ref, ib_ref, il_ref, ir_ref, cy_ref, sy_ref, dy_ref, dx_ref,
             valid_ref, out_ref, acc_ref, *,
-            latlon: bool, n_levels: int, n_pad: int, n_rb: int):
+            latlon: bool, n_levels: int, n_pad: int, n_rb: int,
+            level_unroll: int = 1, row_acc: bool = False):
     b = pl.program_id(0)
     rb = pl.program_id(1)
 
@@ -191,14 +218,51 @@ def _kernel(lev_ref, n0_ref, n1_ref, v00_ref, v01_ref, v10_ref, v11_ref,
     valid = valid_ref[0] > 0
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
 
-    def body(n, _):
-        lev = lev_ref[b * n_levels + n]
-        cnt = _offset_block_length(lev, v00, v01, v10, v11, it, ib, il, ir,
-                                   cy, sy, dyr, dxc, valid, latlon)
-        acc_ref[0:1, :] += jnp.where(iota_n == n, cnt, 0.0)
+    # level_unroll > 1 hand-unrolls U levels per dynamic iteration (tail
+    # clamped + masked out of the one-hot, exact).  Measured on v5e
+    # (tools/ab_length_unroll.py, 4 interleaved min-pooled rounds): u2
+    # ~8% SLOWER than u1 outside one outlier round, u4/u8 clearly worse
+    # (tail waste + register pressure) — interleaving the per-level chains
+    # does NOT pay, so the default stays 1.  Kept as a measurement knob.
+    U = max(1, level_unroll)
+
+    if row_acc:
+        # per-level SUBLANE-only reduce, accumulated into this level's row
+        # of a (n_pad, NxC) scratch via a dynamic-row RMW; lanes fold ONCE
+        # per batch element at flush — removes the per-level cross-lane
+        # reduce chain and the one-hot flush from the inner loop
+        def body(i, _):
+            for u in range(U):
+                n = n0 + i * U + u
+                n_c = jnp.minimum(n, n1 - 1)
+                lev = lev_ref[b * n_levels + n_c]
+                row = _offset_block_length(lev, v00, v01, v10, v11, it, ib,
+                                           il, ir, cy, sy, dyr, dxc, valid,
+                                           latlon, reduce="rows")
+                row = jnp.where(n < n1, row, 0.0)
+                acc_ref[pl.ds(n_c, 1), :] += row[None, :]
+            return 0
+
+        jax.lax.fori_loop(0, (n1 - n0 + U - 1) // U, body, 0, unroll=False)
+
+        @pl.when(rb == n_rb - 1)
+        def _():
+            total = jnp.sum(acc_ref[...], axis=1)          # one lane fold
+            out_ref[0] = jnp.broadcast_to(total[:, None], out_ref.shape[1:])
+        return
+
+    def body(i, _):
+        for u in range(U):
+            n = n0 + i * U + u
+            n_c = jnp.minimum(n, n1 - 1)
+            lev = lev_ref[b * n_levels + n_c]
+            cnt = _offset_block_length(lev, v00, v01, v10, v11, it, ib, il,
+                                       ir, cy, sy, dyr, dxc, valid, latlon)
+            cnt = jnp.where(n < n1, cnt, 0.0)
+            acc_ref[0:1, :] += jnp.where(iota_n == n_c, cnt, 0.0)
         return 0
 
-    jax.lax.fori_loop(n0, n1, body, 0, unroll=False)
+    jax.lax.fori_loop(0, (n1 - n0 + U - 1) // U, body, 0, unroll=False)
 
     @pl.when(rb == n_rb - 1)
     def _():
@@ -281,10 +345,13 @@ def active_pair_count(data: jax.Array, levels: jax.Array) -> jax.Array:
     return jnp.sum(n1 - n0)
 
 
-@partial(jax.jit, static_argnames=("latlon", "interpret"))
+@partial(jax.jit, static_argnames=("latlon", "interpret", "level_unroll",
+                                   "row_acc"))
 def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
                            ydef: jax.Array, xdef: jax.Array, *,
-                           latlon: bool, interpret: bool = False) -> jax.Array:
+                           latlon: bool, interpret: bool = False,
+                           level_unroll: int = 1,
+                           row_acc: bool = False) -> jax.Array:
     """Total perimeter per level.  data (B, Ny, Nx); levels (B, N);
     ydef/xdef coordinate vectors (radians if latlon, else meters) — either
     shared (Ny,)/(Nx,) or per-batch-element (B, Ny)/(B, Nx) (the windowed
@@ -308,22 +375,31 @@ def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
                        memory_space=pltpu.VMEM)
     col = pl.BlockSpec((1, 1, NxC), lambda b, r, *_: (b, 0, 0),
                        memory_space=pltpu.VMEM)
+    if row_acc:
+        out_block = pl.BlockSpec((1, n_pad, 128), lambda b, r, *_: (b, 0, 0))
+        out_sds = jax.ShapeDtypeStruct((B, n_pad, 128), data.dtype)
+        scratch = [pltpu.VMEM((n_pad, NxC), data.dtype)]
+    else:
+        out_block = pl.BlockSpec((1, 8, n_pad), lambda b, r, *_: (b, 0, 0))
+        out_sds = jax.ShapeDtypeStruct((B, 8, n_pad), data.dtype)
+        scratch = [pltpu.VMEM((8, n_pad), data.dtype)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, n_rb),
         in_specs=[big] * 8 + [row, row, row, col, big],
-        out_specs=pl.BlockSpec((1, 8, n_pad), lambda b, r, *_: (b, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((8, n_pad), data.dtype)],
+        out_specs=out_block,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        partial(_kernel, latlon=latlon, n_levels=N, n_pad=n_pad, n_rb=n_rb),
-        out_shape=jax.ShapeDtypeStruct((B, 8, n_pad), data.dtype),
+        partial(_kernel, latlon=latlon, n_levels=N, n_pad=n_pad, n_rb=n_rb,
+                level_unroll=level_unroll, row_acc=row_acc),
+        out_shape=out_sds,
         grid_spec=grid_spec,
         interpret=interpret,
     )(lev_s.reshape(-1), n0.reshape(-1), n1.reshape(-1),
       v00, v01, v10, v11, inv_t, inv_b, inv_l, inv_r, cy, sy, dyr, dxc,
       valid.astype(data.dtype))
-    out_s = out[:, 0, :N]
+    out_s = out[:, :N, 0] if row_acc else out[:, 0, :N]
     # unsort: sorted position k holds the result of original level order[k]
     inv_perm = jnp.argsort(order, axis=-1)
     return jnp.take_along_axis(out_s, inv_perm, axis=-1)
