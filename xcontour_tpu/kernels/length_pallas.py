@@ -351,13 +351,20 @@ def contour_lengths_pallas(data: jax.Array, levels: jax.Array,
                            ydef: jax.Array, xdef: jax.Array, *,
                            latlon: bool, interpret: bool = False,
                            level_unroll: int = 1,
-                           row_acc: bool = False) -> jax.Array:
+                           row_acc: bool = True) -> jax.Array:
     """Total perimeter per level.  data (B, Ny, Nx); levels (B, N);
     ydef/xdef coordinate vectors (radians if latlon, else meters) — either
     shared (Ny,)/(Nx,) or per-batch-element (B, Ny)/(B, Nx) (the windowed
     local-length workload gives every window its own coordinate patch).
     Returns (B, N) raw totals (0 for empty contours; caller NaN-ifies and
-    applies the Earth-radius factor)."""
+    applies the Earth-radius factor).
+
+    ``row_acc=True`` (default) accumulates per-level SUBLANE-reduced rows
+    into a (levels, NxC) scratch and folds lanes once per batch element —
+    measured ~8% faster than the per-level scalar one-hot flush (v5e,
+    4/4 interleaved min-pooled rounds, tools/ab_length_rowacc.py), taking
+    the kernel to ~83% of its same-structure op-mix ceiling.  Differs from
+    row_acc=False only in summation order (~3e-7 relative)."""
     B, Ny, Nx = data.shape
     N = levels.shape[-1]
     n_pad = -(-N // 128) * 128
