@@ -36,7 +36,7 @@ def main():
         return k
 
     base = np.asarray(contour_lengths_pallas(q, levels, ydef, xdef,
-                                             latlon=True))
+                                             latlon=True, row_acc=False))
     got = np.asarray(contour_lengths_pallas(q, levels, ydef, xdef,
                                             latlon=True, row_acc=True))
     rel = float(np.nanmax(np.abs(got - base)

@@ -7,7 +7,14 @@ the suspect is the per-level full-panel reduce + one-hot RMW serialization
 independent per-level chains.  Interleaved min-pooled rounds per the
 docs/PERF.md lesson: sub-20% A/B results need paired windows.
 
-Usage: python tools/ab_length_unroll.py [rounds]
+The recorded "u2 ~8% slower, u4/u8 worse" claim (length_pallas.py kernel
+comment) was measured on the one-hot accumulation path, which was the
+default then; row_acc=False is now passed EXPLICITLY so re-runs measure
+the same path the claim names (the production default flipped to
+row_acc=True afterwards — pass 1 as the second argument to probe that
+path instead).
+
+Usage: python tools/ab_length_unroll.py [rounds] [row_acc(0|1)]
 """
 import os
 import sys
@@ -19,6 +26,7 @@ import bench  # noqa: E402
 
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    row_acc = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
     bench._init_devices(240)
     import jax.numpy as jnp
     from xcontour_tpu.kernels.length_pallas import contour_lengths_pallas
@@ -37,7 +45,7 @@ def main():
     def make(u):
         def k(x):
             r = contour_lengths_pallas(x, levels, ydef, xdef, latlon=True,
-                                       level_unroll=u)
+                                       level_unroll=u, row_acc=row_acc)
             return jnp.sum(r, axis=1)[:, None, None]
         return k
 
@@ -45,12 +53,13 @@ def main():
     # parity first: unrolled results must be bitwise-equal (same per-level
     # arithmetic, only the loop schedule changes)
     base = np.asarray(contour_lengths_pallas(q, levels, ydef, xdef,
-                                             latlon=True))
+                                             latlon=True, row_acc=row_acc))
     for u in unrolls[1:]:
         got = np.asarray(contour_lengths_pallas(q, levels, ydef, xdef,
-                                                latlon=True, level_unroll=u))
+                                                latlon=True, level_unroll=u,
+                                                row_acc=row_acc))
         np.testing.assert_array_equal(got, base, err_msg=f"unroll={u}")
-    print("# parity: bitwise-equal across unrolls")
+    print(f"# parity: bitwise-equal across unrolls (row_acc={row_acc})")
 
     times = {u: [] for u in unrolls}
     for r in range(rounds):

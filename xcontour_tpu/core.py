@@ -138,13 +138,17 @@ class Table:
         # eagerly here; under jit, direction is sniffed from element 0 like
         # before (a data-dependent raise cannot live in a trace) — checked
         # pipelines call :meth:`check_direction` for the checkify guard.
-        if not isinstance(inc, jax.core.Tracer):
+        if not isinstance(inc, jax.core.Tracer) and \
+                not getattr(self, "_dir_checked", False):
+            # np.asarray is a device->host sync (~0.5 s through this image's
+            # tunnel) — pay it ONCE per Table instance, not per eager lookup
             arr = np.asarray(inc)
             if arr.size > 1 and not (arr == arr[0]).all():
                 raise ValueError(
                     "Table: not every batch element (time/level) is "
                     "increasing/decreasing — mixed-direction table values "
                     "(reference core.py:1122-1134)")
+            object.__setattr__(self, "_dir_checked", True)
         return inc[0]
 
     def check_direction(self) -> None:

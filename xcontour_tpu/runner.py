@@ -288,7 +288,13 @@ def run_batched(step: Callable[[jax.Array], Dict[str, jax.Array]],
     try:
         k1 = next_todo(0)
         k2 = next_todo(k1 + 1) if k1 is not None else None
-        pending_ship = (k1, ship_pool.submit(chunk_array, k1)) \
+        # submit read(k1) from HERE, before read(k2): routing it through
+        # chunk_array on the ship worker would race its read submission
+        # against the main thread's read(k2) below and usually lose,
+        # making the single read worker decode k2 first and delaying the
+        # first compute by a full chunk read
+        rf1 = read_pool.submit(read_chunk, k1) if k1 is not None else None
+        pending_ship = (k1, ship_pool.submit(ship, rf1)) \
             if k1 is not None else (None, None)
         pending_read = (k2, read_pool.submit(read_chunk, k2)) \
             if k2 is not None else (None, None)
