@@ -99,6 +99,58 @@ def test_retry_exhausts_then_raises(monkeypatch):
     assert calls["n"] == 3
 
 
+def _stub_run_sections(monkeypatch, tmp_path, dense_calls):
+    """Stub every measured section so _run's orchestration (mode gating,
+    artifact writing) can run hermetically — artifacts land in tmp_path."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "_init_devices", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "_load", lambda: (
+        np.linspace(-80, 80, 4), np.linspace(0, 315, 4), np.zeros((4, 4))))
+
+    def fake_headline(lat, lon, vor, batch=32, **kw):
+        dense_calls.append(kw.get("lwa_method", "default"))
+        return 100.0
+    monkeypatch.setattr(bench, "headline", fake_headline)
+    row = {"ms": 1.0, "pct_roofline": 50.0, "pct_of_measured_ceiling": 50.0}
+    monkeypatch.setattr(bench, "kernel_rooflines", lambda *a, **k: {
+        "stencil": dict(row), "ceilings": {},
+        "contention": {"copy_gbps": 1.0, "vpu_probe_tslots": 1.0}})
+    monkeypatch.setattr(bench, "adjoint_section",
+                        lambda *a, **k: {"grad_sps": 1.0})
+    monkeypatch.setattr(bench, "lwa_tall", lambda: {
+        "ny": 1, "fast_ms": 1.0, "lin_ms": 1.0, "auto_resolves_to": "fast",
+        "fast_wins": True, "crossover_ny": 1})
+    monkeypatch.setattr(bench, "workload_matrix", lambda *a, **k: {
+        "era5_keff_lwa_sps": 1.0, "year_pv_s": 1.0})
+    monkeypatch.setattr(bench, "out_of_core_section", lambda: {})
+    monkeypatch.setattr(bench, "cpu_oracle_sps", lambda *a, **k: 2.0)
+    monkeypatch.setattr(bench, "cpu_numpy_fast_sps", lambda *a, **k: 10.0)
+
+
+def test_quick_mode_skips_dense_headline(monkeypatch, capsys, tmp_path):
+    """--quick must not pay the dense-path compile (its <3 min re-run
+    contract); the compact line then simply omits headline_dense_sps."""
+    dense_calls = []
+    _stub_run_sections(monkeypatch, tmp_path, dense_calls)
+    assert bench.main(["--quick"]) is None
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dense_calls == ["default"]
+    assert "headline_dense_sps" not in parsed
+    hist = (tmp_path / "BENCH_HISTORY.jsonl").read_text().splitlines()
+    assert "headline_dense_sps" not in json.loads(hist[-1])
+
+
+def test_full_mode_pins_dense_headline(monkeypatch, capsys, tmp_path):
+    dense_calls = []
+    _stub_run_sections(monkeypatch, tmp_path, dense_calls)
+    assert bench.main([]) is None
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dense_calls == ["default", "dense"]
+    assert parsed["headline_dense_sps"] == 100.0
+    hist = (tmp_path / "BENCH_HISTORY.jsonl").read_text().splitlines()
+    assert json.loads(hist[-1])["headline_dense_sps"] == 100.0
+
+
 def test_bench_grid_leaves_are_host_arrays():
     """The grids every jitted bench step closes over must have numpy leaves:
     device-resident leaves are fetched device->host at TRACE time, the
