@@ -138,7 +138,15 @@ def device_time(step, x0, reps=20, r1=2):
     run(1)                                 # compile + warm
     t1 = run(r1)
     t2 = run(r1 + reps)
-    return max((t2 - t1) / reps, 1e-9)
+    # congested-window guard (same rule as _kernel_time): the shared chip
+    # can speed up between the two passes, driving the slope to <= 0 — the
+    # old 1e-9 clamp then reported absurd rates (observed: a "4e9 snap/s"
+    # table-reuse entry).  The long pass's amortized per-call time still
+    # contains the fixed ~30 ms round-trip, so it is always a valid upper
+    # bound on per-call time; clamping to it can only UNDER-claim.
+    ub = t2 / (r1 + reps)
+    slope = (t2 - t1) / reps
+    return ub if slope <= 0 else min(slope, ub)
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,26 @@ def test_retry_exhausts_then_raises(monkeypatch):
     assert calls["n"] == 3
 
 
+def test_device_time_guards_slope_inversion(monkeypatch):
+    """A congested window can make the long pass FASTER than the short one;
+    the slope then goes <= 0 and the old 1e-9 clamp reported absurd rates
+    (a committed '4e9 snap/s' table-reuse entry).  The amortized per-call
+    time of the long pass is the conservative fallback/cap."""
+    import jax.numpy as jnp
+    x0 = jnp.ones((4,))
+    # perf_counter sequence: warm(run(1)): 0,1; t1(run(2)): 0,10; t2(run(8)): 0,5
+    ticks = iter([0.0, 1.0, 0.0, 10.0, 0.0, 5.0])
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(ticks))
+    per = bench.device_time(lambda x: x + 1.0, x0, reps=6, r1=2)
+    assert per == 5.0 / 8.0                     # amortized, not 1e-9
+
+    # positive but contaminated slope (> amortized) is capped at amortized
+    ticks = iter([0.0, 1.0, 0.0, 1.0, 0.0, 40.0])
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(ticks))
+    per = bench.device_time(lambda x: x + 1.0, x0, reps=6, r1=2)
+    assert per == 40.0 / 8.0                    # slope 6.5 capped at 5.0
+
+
 def _stub_run_sections(monkeypatch, tmp_path, dense_calls):
     """Stub every measured section so _run's orchestration (mode gating,
     artifact writing) can run hermetically — artifacts land in tmp_path."""

@@ -43,7 +43,10 @@ def device_time(step, x0, reps=16, r1=2):
     run(1)
     t1 = run(r1)
     t2 = run(r1 + reps)
-    return max((t2 - t1) / reps, 1e-9)
+    # same congested-window inversion guard as bench.device_time
+    ub = t2 / (r1 + reps)
+    slope = (t2 - t1) / reps
+    return ub if slope <= 0 else min(slope, ub)
 
 
 from xcontour_tpu import grid as G
