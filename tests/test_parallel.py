@@ -498,3 +498,40 @@ def test_hybrid_mesh_multislice_on_virtual_devices(rng):
     np.testing.assert_allclose(np.asarray(got["lwa"]),
                                np.asarray(want["lwa"]),
                                rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_hybrid_mesh_multiprocess_default_attribution(monkeypatch):
+    """The real-pod branch (process_count > 1, no slice_of): devices are
+    attributed by process_index and the topology-aware placement is
+    attempted, falling back to enumeration order on backends without device
+    coords (this virtual CPU mesh).  Single-process coverage via a
+    monkeypatched process_count — all virtual devices share process 0, so
+    the mesh must come out (1, n) with every device in one ICI row."""
+    import jax
+    from xcontour_tpu.parallel import make_hybrid_mesh
+
+    n = len(jax.devices())
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    hm = make_hybrid_mesh()
+    assert hm.devices.shape == (1, n)
+    assert [d.id for d in hm.devices[0]] == sorted(d.id for d in jax.devices())
+
+
+def test_topology_fallback_warns_only_on_real_accelerators():
+    """_warn_topology_fallback names the placement error on real
+    accelerators (ADVICE r4 #3) and stays silent for CPU/virtual devices."""
+    import warnings
+    from xcontour_tpu.parallel.mesh import _warn_topology_fallback
+
+    class FakeDev:
+        def __init__(self, platform):
+            self.platform = platform
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # any warning -> failure
+        _warn_topology_fallback([FakeDev("cpu")] * 4, ValueError("no coords"))
+
+    with pytest.warns(UserWarning, match="topology-aware placement "
+                                         "unavailable.*no coords"):
+        _warn_topology_fallback([FakeDev("cpu"), FakeDev("tpu")],
+                                ValueError("no coords"))

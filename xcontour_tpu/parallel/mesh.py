@@ -113,22 +113,27 @@ def make_hybrid_mesh(axis_names: Sequence[str] = ("batch", "x"),
                 (local // x_size, x_size), (n_slices, 1), devices=devs,
                 process_is_granule=True)
         except Exception as e:  # noqa: BLE001 — expected for backends with
-            # no device coords (CPU/virtual devices fall back silently); on
-            # REAL accelerators a genuine topology/misconfiguration error
-            # would otherwise silently degrade ICI placement to enumeration
-            # order, so name it there (ADVICE r4 #3)
-            if any(d.platform != "cpu" for d in devs):
-                import warnings
-                warnings.warn(
-                    "make_hybrid_mesh: topology-aware placement unavailable "
-                    f"({type(e).__name__}: {e}); falling back to "
-                    "enumeration-order device layout — check the mesh shape "
-                    "against the physical ICI topology", stacklevel=2)
+            # no device coords (CPU/virtual devices fall back silently)
+            _warn_topology_fallback(devs, e)
             arr = hybrid_device_array(devs, x_size, slice_of=slice_of)
     else:
         arr = hybrid_device_array(devs, x_size, slice_of=slice_of)
     assert arr.shape == (len(devs) // x_size, x_size)
     return Mesh(arr, axis_names)
+
+
+def _warn_topology_fallback(devs, e: Exception) -> None:
+    """On REAL accelerators a topology/misconfiguration error from the
+    coords-aware placement would otherwise silently degrade ICI placement to
+    enumeration order, so name it there (ADVICE r4 #3); CPU/virtual devices
+    (which expose no coords) fall back silently by design."""
+    if any(d.platform != "cpu" for d in devs):
+        import warnings
+        warnings.warn(
+            "make_hybrid_mesh: topology-aware placement unavailable "
+            f"({type(e).__name__}: {e}); falling back to "
+            "enumeration-order device layout — check the mesh shape "
+            "against the physical ICI topology", stacklevel=3)
 
 
 def shard_batch_spec(mesh: Mesh, ndim: int, batch_axis: str = "batch",
