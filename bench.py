@@ -116,13 +116,21 @@ def host_latlon_grid(lat, lon):
 # ---------------------------------------------------------------------------
 # timing
 # ---------------------------------------------------------------------------
-def device_time(step, x0, reps=20, r1=2):
+def device_time(step, x0, reps=20, r1=2, passes=1):
     """Median-free slope timing: run r1 and r1+reps dependency-chained calls,
     each ending in a scalar fetch; per-call = (T2 - T1) / reps.
 
     ``step`` must map its input to a same-structured output (chaining) and is
     expected to fold the *computation's result* into what it returns, so no
     call can be elided or overlapped past the fetch.
+
+    ``passes`` > 1 repeats BOTH raw timings and takes the min of each
+    SEPARATELY before the slope (the _kernel_time_best rule): contention on
+    this shared chip only ever ADDS time, so each min approaches the quiet
+    truth.  A single pass is exposed to window-relaxation inflation — the
+    chip speeding up between T1 and T2 leaves a tiny POSITIVE slope that the
+    slope<=0 guard cannot catch (observed: a 113x-inflated per-level-keff
+    entry and a 17x fractal entry in one congested-window run).
     """
     import jax
     import jax.numpy as jnp
@@ -136,8 +144,8 @@ def device_time(step, x0, reps=20, r1=2):
         return time.perf_counter() - t0
 
     run(1)                                 # compile + warm
-    t1 = run(r1)
-    t2 = run(r1 + reps)
+    t1 = min(run(r1) for _ in range(passes))
+    t2 = min(run(r1 + reps) for _ in range(passes))
     # congested-window guard (same rule as _kernel_time): the shared chip
     # can speed up between the two passes, driving the slope to <= 0 — the
     # old 1e-9 clamp then reported absurd rates (observed: a "4e9 snap/s"
@@ -945,7 +953,7 @@ def workload_matrix(lat, lon, vor):
         o = keff_lwa_pipeline(t, gridE, N=241, increase=True, lt=True,
                               lmin="analytic")
         return t + 1e-30 * (o["lwa"] + o["nkeff"][..., 0, None, None])
-    per = device_time(stepE, trE, reps=6)
+    per = device_time(stepE, trE, reps=6, passes=3)
     out["era5_keff_lwa_sps"] = round(BE / per, 1)
 
     # production-loop variant: the A(Y_eq) table is tracer-independent, so
@@ -965,7 +973,7 @@ def workload_matrix(lat, lon, vor):
         o = keff_lwa_pipeline(t, gridE, N=241, increase=True, lt=True,
                               lmin="analytic", table=tableE)
         return t + 1e-30 * (o["lwa"] + o["nkeff"][..., 0, None, None])
-    per = device_time(stepE2, trE, reps=6)
+    per = device_time(stepE2, trE, reps=6, passes=3)
     out["era5_keff_lwa_table_reuse_sps"] = round(BE / per, 1)
 
     # year of daily PV end-to-end through the batch runner (incl. host IO)
@@ -1002,14 +1010,15 @@ def workload_matrix(lat, lon, vor):
         # eliminates the stage (an lwa-free dep once measured 37k "snap/s")
         return (o["lwa"] + o["nkeff"].sum(-1)[:, None, None]
                 + o["Yeq"].sum(-1)[:, None, None])
-    per = _kernel_time(depP, trP, inner_lo=1, inner_hi=5, reps=6)
+    per = _kernel_time_best(depP, trP, inner_lo=1, inner_hi=5, reps=6)
     out["keff_atmos_3d_perlevel_sps"] = round(pv.shape[0] / per, 1)
 
     # contour lengths at the two reference contour counts.  These are
     # sub-millisecond per call, so the plain outer slope drowns in the
     # ~30 ms tunnel round-trip jitter (a contaminated run once rounded to
-    # 0.0); _kernel_time chains the call inside one program to also cancel
-    # per-launch dispatch.
+    # 0.0, another to 0.003 ms for a 0.05 ms workload); min-over-passes
+    # chained timing with long chains (inner_hi=10) and reps=40 puts the
+    # work signal 1-2 orders above the host jitter.
     B = 8
     tr = jnp.asarray(vor[None] * (1 + 1e-4 * rng.standard_normal((B, 1, 1))),
                      jnp.float32)
@@ -1021,7 +1030,7 @@ def workload_matrix(lat, lon, vor):
             return (o["lengths"].sum(-1)[:, None, None]
                     + o["cmGrd"].sum(-1)[:, None, None]
                     + o["Leq2"].sum(-1)[:, None, None])
-        per = _kernel_time(depC, tr, inner_lo=1, inner_hi=5, reps=6)
+        per = _kernel_time_best(depC, tr, inner_lo=2, inner_hi=10, reps=40)
         out[f"clength_N{n}_ms_per_snap"] = round(per / B * 1e3, 3)
 
     # fractal ladder, strides 1..32 with box counting
@@ -1032,7 +1041,7 @@ def workload_matrix(lat, lon, vor):
                              increase=True, lt=True)
         return (o["D"].sum(-1)[:, None, None]
                 + o["bclens"].sum((-2, -1))[:, None, None])
-    per = _kernel_time(depF, tr[:BF], inner_lo=1, inner_hi=5, reps=6)
+    per = _kernel_time_best(depF, tr[:BF], inner_lo=2, inner_hi=10, reps=40)
     out["fractal_s1to32_ms_per_snap"] = round(per / BF * 1e3, 3)
 
     # local (windowed) lengths, the reference's 101-window/stride-10 config
@@ -1042,7 +1051,7 @@ def workload_matrix(lat, lon, vor):
         L, oy, ox = local_contour_lengths(t, grid.ydef, grid.xdef,
                                           window=101, stride=10, latlon=True)
         return jnp.nansum(L)
-    per = _kernel_time(depL, v32, inner_lo=1, inner_hi=5, reps=6)
+    per = _kernel_time_best(depL, v32, inner_lo=2, inner_hi=10, reps=24)
     out["local_length_w101_s10_ms_per_snap"] = round(per * 1e3, 3)
     return out
 
@@ -1129,7 +1138,7 @@ def out_of_core(n_snap=4224):
     # glue ops per rep through the remote runtime — per-call overhead the
     # slope cannot cancel (measured ~20% understatement vs the jitted
     # pipeline at the same shape)
-    per = device_time(jax.jit(dep), resident, reps=6)
+    per = device_time(jax.jit(dep), resident, reps=6, passes=3)
     device_compute_sps = 32 / per
 
     # the one lever this tunnel-bound path leaves: halve the wire format

@@ -119,6 +119,23 @@ def test_device_time_guards_slope_inversion(monkeypatch):
     assert per == 40.0 / 8.0                    # slope 6.5 capped at 5.0
 
 
+def test_device_time_passes_min_raw_timings(monkeypatch):
+    """passes>1 takes the min of EACH raw timing separately before the
+    slope (the _kernel_time_best rule).  A window that relaxes between T1
+    and T2 leaves a tiny POSITIVE slope the inversion guard cannot catch —
+    the source of a 113x-inflated per-level-keff entry in one congested
+    run; min-over-passes recovers the quiet-window slope."""
+    import jax.numpy as jnp
+    x0 = jnp.ones((4,))
+    # warm: (0,1); t1 over 3 passes: 10, 4, 6 -> min 4;
+    # t2 over 3 passes: 20, 12, 16 -> min 12
+    ticks = iter([0.0, 1.0, 0.0, 10.0, 0.0, 4.0, 0.0, 6.0,
+                  0.0, 20.0, 0.0, 12.0, 0.0, 16.0])
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(ticks))
+    per = bench.device_time(lambda x: x + 1.0, x0, reps=6, r1=2, passes=3)
+    assert per == (12.0 - 4.0) / 6.0            # slope of the min timings
+
+
 def _stub_run_sections(monkeypatch, tmp_path, dense_calls):
     """Stub every measured section so _run's orchestration (mode gating,
     artifact writing) can run hermetically — artifacts land in tmp_path."""
